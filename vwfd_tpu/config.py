@@ -1,0 +1,102 @@
+"""Typed configuration — replaces the reference's YAML → `NoneDict` pipeline
+(options/options.py:9-118), whose missing-key→None behavior SURVEY.md §5 calls
+out as a foot-gun. Unknown keys raise; every field has a typed default drawn
+from the reference's train YAMLs (options/train/train_IRNcrop_x4.yml:88-118).
+"""
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Sequence, Tuple
+
+import yaml
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Reference: options/train/*.yml `datasets:` block + data/Dataloader.py."""
+    root: Optional[str] = None          # DAVIS root (JPEGImages/480p etc.)
+    gt_size: int = 256                  # train_IRNcrop_x4.yml:37
+    batch_size: int = 16                # train_IRNcrop_x4.yml:36 (global)
+    frames: int = 4                     # video clip length T (netG 12 = 3·4 ch)
+    mask_rate_max: float = 0.2          # DVDataset rejection bound (Dataloader.py:77-95)
+    use_flip: bool = True
+    use_rot: bool = True
+    synthetic: bool = False             # use the synthetic generator (tests/bench)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Reference: models/IRNcrop_model.py:121-143 net construction."""
+    inn_down_num: int = 3
+    inn_block_num: Tuple[int, ...] = (1, 1, 1)
+    inn_subnet: str = "res"
+    unet_features: int = 32
+    localizer_dim: int = 16
+    localizer_residual_blocks: int = 2
+    discriminator_dim: int = 32
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Reference: options/train/train_IRNcrop_x4.yml:88-118."""
+    lr: float = 1e-5
+    beta1: float = 0.9
+    beta2: float = 0.999
+    weight_decay: float = 1e-5
+    gradient_clipping: float = 1.0
+    niter: int = 500_000
+    seed: int = 10                      # manual_seed (train.py:317-331)
+    psnr_gate: float = 33.0             # IRNcrop_model.py:384-388
+    loss_weight_low: float = 1.0
+    loss_weight_high: float = 0.8
+    save_interval: int = 5000           # IRNcrop_model.py:334
+    montage_interval: int = 500         # IRNcrop_model.py:421
+    print_freq: int = 100
+    dtype: str = "bfloat16"             # compute dtype (ref: fp16 AMP)
+
+
+@dataclass(frozen=True)
+class Config:
+    name: str = "vwfd"
+    task: str = "video"                 # video | hidden | mbrs | kdjpeg | tianchi | image
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    ckpt_dir: str = "checkpoints"
+    out_dir: str = "test_results"
+
+
+def _build(cls, d: dict):
+    names = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(d) - set(names)
+    if unknown:
+        raise KeyError(f"unknown config keys for {cls.__name__}: {sorted(unknown)}")
+    kwargs = {}
+    for k, v in d.items():
+        ftype = names[k].type
+        if isinstance(v, dict):
+            sub = {"data": DataConfig, "model": ModelConfig,
+                   "train": TrainConfig}[k]
+            kwargs[k] = _build(sub, v)
+        elif isinstance(v, list):
+            kwargs[k] = tuple(v)
+        else:
+            kwargs[k] = v
+    return cls(**kwargs)
+
+
+def load_config(path: Optional[str] = None, overrides: Optional[dict] = None) -> Config:
+    d = {}
+    if path is not None:
+        with open(path) as f:
+            d = yaml.safe_load(f) or {}
+    if overrides:
+        d = _merge(d, overrides)
+    return _build(Config, d)
+
+
+def _merge(a: dict, b: dict) -> dict:
+    out = dict(a)
+    for k, v in b.items():
+        out[k] = _merge(out[k], v) if isinstance(v, dict) and isinstance(out.get(k), dict) else v
+    return out

@@ -1,0 +1,65 @@
+"""Batching + host→device prefetch.
+
+Replaces `create_dataloader`/`DistIterSampler` (data/__init__.py:7-28,
+data/data_sampler.py:12-66): one process feeds the whole mesh; the global
+batch is assembled on host and `jax.device_put` with a batch-dim
+NamedSharding splits it across devices — the single-program equivalent of the
+reference's per-rank `batch_size // world_size` split (data/__init__.py:16-17).
+
+A one-deep prefetch thread overlaps host decode with device compute.
+"""
+
+import queue
+import threading
+
+import numpy as np
+
+
+class Loader:
+    def __init__(self, dataset, batch_size, shuffle=True, seed=0,
+                 prefetch=2, sharding=None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.prefetch = prefetch
+        self.sharding = sharding
+
+    def _make_batch(self, idxs):
+        items = [self.dataset[i] for i in idxs]
+        if isinstance(items[0], dict):
+            batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
+        elif isinstance(items[0], tuple):
+            batch = tuple(np.stack(parts) for parts in zip(*items))
+        else:
+            batch = np.stack(items)
+        if self.sharding is not None:
+            import jax
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self.sharding), batch)
+        return batch
+
+    def __iter__(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            self.rng.shuffle(order)
+        q = queue.Queue(maxsize=self.prefetch)
+        n_batches = n // self.batch_size
+
+        def worker():
+            for b in range(n_batches):
+                idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                q.put(self._make_batch(idxs))
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+
+    def __len__(self):
+        return len(self.dataset) // self.batch_size

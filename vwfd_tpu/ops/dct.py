@@ -1,0 +1,67 @@
+"""8×8 blockwise DCT-II / IDCT as batched MXU matmuls.
+
+The reference implements this three ways (per-block matmul in
+`noise_layers/jpeg.py:115-145`, 4-D tensordot in `utils/JPEG.py:185-208,
+332-354`, and 64-filter strided conv in `noise_layers/jpeg_compression.py`).
+All are the same orthonormal 2-D DCT; here it is one implementation:
+reshape to 8×8 blocks and contract with the orthonormal DCT matrix twice —
+`C @ block @ C^T` — which XLA tiles directly onto the MXU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _dct_matrix(n: int = 8) -> np.ndarray:
+    """Orthonormal DCT-II matrix: C[0,:]=sqrt(1/n); C[i,j]=sqrt(2/n)cos(πi(2j+1)/2n)."""
+    c = np.zeros((n, n), dtype=np.float64)
+    c[0, :] = np.sqrt(1.0 / n)
+    for i in range(1, n):
+        for j in range(n):
+            c[i, j] = np.cos(np.pi * i * (2 * j + 1) / (2 * n)) * np.sqrt(2.0 / n)
+    return c
+
+
+DCT8 = jnp.asarray(_dct_matrix(8), dtype=jnp.float32)
+
+
+def block_split(x, k: int = 8):
+    """(..., H, W) → (..., H/k, W/k, k, k) block view."""
+    *lead, h, w = x.shape
+    x = x.reshape(*lead, h // k, k, w // k, k)
+    return jnp.moveaxis(x, -3, -2)  # (..., h/k, w/k, k, k)
+
+
+def block_merge(x):
+    """(..., H/k, W/k, k, k) → (..., H, W)."""
+    *lead, hb, wb, k, k2 = x.shape
+    x = jnp.moveaxis(x, -2, -3)  # (..., hb, k, wb, k)
+    return x.reshape(*lead, hb * k, wb * k)
+
+
+def dct8x8(x, center: bool = False):
+    """Blockwise 2-D DCT of a (..., H, W) array (H, W multiples of 8).
+
+    `center=True` subtracts 128 first (utils/JPEG.py:204 semantics);
+    `center=False` matches noise_layers/jpeg.py:115-129.
+    """
+    if center:
+        x = x - 128.0
+    b = block_split(x)
+    out = jnp.einsum("ua,...ab,vb->...uv", DCT8, b, DCT8,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    return block_merge(out)
+
+
+def idct8x8(x, center: bool = False):
+    """Inverse blockwise 2-D DCT; `center=True` adds 128 back."""
+    b = block_split(x)
+    out = jnp.einsum("au,...ab,bv->...uv", DCT8, b, DCT8,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = block_merge(out)
+    if center:
+        out = out + 128.0
+    return out

@@ -1,0 +1,63 @@
+"""Device mesh + sharding — the TPU-native replacement for the reference's
+NCCL/DDP stack (train.py:20-33 `init_dist`, models/IRN_model.py:150-163 DDP,
+data/data_sampler.py `DistIterSampler`).
+
+Design (SURVEY.md §2.1/§5): the reference has *data parallelism only*. Here
+that is a 1-D `Mesh(('data',))`: the batch dim is sharded with NamedSharding,
+params are replicated, and XLA inserts the gradient all-reduce over ICI —
+no NCCL analog, no per-rank process logic, one program.
+
+`make_mesh(n)` also supports a 2-D ('data','frame') layout that additionally
+shards the video clip dim T — the TPU-native generalization SURVEY.md §2.1
+suggests beyond parity.
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axes: Sequence[str] = ("data",)) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = np.asarray(devs[:n])
+    if len(axes) == 1:
+        return Mesh(devs.reshape(n), axes)
+    # 2-D layout: put the larger factor on 'data'
+    d2 = 1
+    for f in range(int(np.sqrt(n)), 0, -1):
+        if n % f == 0:
+            d2 = f
+            break
+    return Mesh(devs.reshape(n // d2, d2), axes)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard leading (batch) dim across 'data'; everything else replicated."""
+    return NamedSharding(mesh, P("data"))
+
+
+def video_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, T, H, W, C) over a ('data','frame') mesh."""
+    if "frame" in mesh.axis_names:
+        return NamedSharding(mesh, P("data", "frame"))
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, spec: Optional[NamedSharding] = None):
+    """Place a host batch (pytree) on the mesh, sharded on the leading dim."""
+    sh = spec or batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sh = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
