@@ -1,0 +1,90 @@
+"""Benchmark harness — frames/sec for embed→attack→extract at 256².
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The pipeline measured is the flagship inference path (the BASELINE.json
+headline): INN watermark embed (12-ch, block_num (1,1,1), ResBlock subnets)
+→ 5-way per-frame attack pool (resize/JPEG×2/median/gauss) → UNet tamper-mask
+extraction, at 256², batch the reference's global batch 16 (4 clips × T=4).
+
+`vs_baseline` divides by REFERENCE_GPU_FPS — the estimated reference
+throughput of the same pipeline in the PyTorch repo on one A100-class GPU
+(see BASELINE.md; the repo publishes no numbers, so this is an estimate
+recorded there). Driver target: ≥10× (BASELINE.json).
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+REFERENCE_GPU_FPS = 250.0  # estimated; see BASELINE.md "reference throughput"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true", help="CPU smoke config")
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from vwfd_tpu.config import Config, DataConfig, ModelConfig
+    from vwfd_tpu.models import VideoWatermarkModel
+
+    if args.tiny:
+        size, frames, batch, steps, warmup = 32, 2, 2, 3, 1
+        mc = ModelConfig(inn_down_num=2, inn_block_num=(1, 1), unet_features=4)
+        ratios = (0.5, 1.0, 1.5)
+    else:
+        size, frames, batch, steps, warmup = 256, 4, args.batch or 4, args.steps or 20, 3
+        mc = ModelConfig()
+        ratios = None
+
+    cfg = Config(data=DataConfig(gt_size=size, frames=frames, batch_size=batch),
+                 model=mc)
+    model = VideoWatermarkModel(cfg, attack_ratios=ratios)
+    states = model.init_states(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def pipeline(netg_params, netg_vars, gen_params, gen_vars, video, key):
+        s = {"netG": states["netG"].replace(params=netg_params, variables=netg_vars),
+             "generator": states["generator"].replace(params=gen_params,
+                                                      variables=gen_vars)}
+        fwd = model.embed(s, video)
+        from vwfd_tpu.attacks import attack_pool_video
+        attacked = jnp.clip(attack_pool_video(key, fwd, ratios=ratios), 0.0, 1.0)
+        mask = model.predict_mask(s, attacked, train=False)
+        return fwd, mask
+
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.random((batch, frames, size, size, 3), np.float32))
+    key = jax.random.PRNGKey(1)
+    a = (states["netG"].params, states["netG"].variables,
+         states["generator"].params, states["generator"].variables)
+
+    for _ in range(warmup):
+        out = pipeline(*a, video, key)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key = jax.random.fold_in(key, i)
+        out = pipeline(*a, video, key)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = steps * batch * frames / dt
+    print(json.dumps({
+        "metric": "frames_per_sec_embed_attack_extract_256" if not args.tiny
+                  else "frames_per_sec_tiny_smoke",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_GPU_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

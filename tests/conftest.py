@@ -3,14 +3,20 @@
 This is the TPU-native substitute for the reference's absent distributed tests
 (SURVEY.md §4): sharding/pjit paths are validated on
 `--xla_force_host_platform_device_count=8` virtual devices.
+
+NB: under the axon TPU harness the JAX_PLATFORMS env var is overridden, so we
+must force CPU through `jax.config.update` before the backend initializes.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -19,3 +25,11 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    # Fail fast if the overrides above didn't take effect: every test
+    # assumes the fake 8-device CPU mesh.
+    assert jax.default_backend() == "cpu", (
+        f"tests must run on CPU, got {jax.default_backend()}")
+    assert len(jax.devices()) == 8, jax.devices()

@@ -1,0 +1,104 @@
+"""Network tests: shapes, INN invertibility property (the reference's own
+smoke check, invertible_net.py:534-562), gradient flow."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vwfd_tpu import nets
+
+
+def test_inn_invertibility(rng):
+    """‖G⁻¹(G(x)) − x‖ ≈ 0 — mirrors invertible_net.py:549-553."""
+    model = nets.InvertibleNet(channels=4, down_num=2, block_num=(1, 1),
+                               subnet="res")
+    x = jnp.asarray(rng.random((1, 16, 16, 4), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == x.shape
+    x_rec, mid = model.apply(params, y, rev=True)
+    err = float(jnp.abs(x_rec - x).max())
+    assert err < 1e-4, err
+    assert mid.shape[-1] == 4 * (4 ** 2)
+
+
+def test_inn_flagship_config(rng):
+    """The IRNcrop netG config: channels=12, block_num=(1,1,1), res subnets
+    (models/IRNcrop_model.py:132-134)."""
+    model = nets.InvertibleNet(channels=12, down_num=3, block_num=(1, 1, 1),
+                               subnet="res")
+    x = jnp.asarray(rng.random((1, 32, 32, 12), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == x.shape
+    # zero-init final convs → at init the coupling is ≈ identity-scaled;
+    # output must stay finite and close in magnitude
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_inn_dense_variant(rng):
+    model = nets.InvertibleNet(channels=3, down_num=2, block_num=(2, 2),
+                               subnet="dense", return_middle=False)
+    x = jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    x_rec = model.apply(params, y, rev=True)
+    assert float(jnp.abs(x_rec - x).max()) < 1e-4
+
+
+def test_inn_gradients(rng):
+    model = nets.InvertibleNet(channels=4, down_num=1, block_num=(1,))
+    x = jnp.asarray(rng.random((1, 8, 8, 4), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        return jnp.sum(model.apply(p, x) ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+
+def test_unet_mask_predictor(rng):
+    model = nets.UNet(out_channels=1, init_features=8)
+    x = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out, _ = model.apply(variables, x, mutable=["batch_stats"])
+    assert out.shape == (2, 32, 32, 1)
+    assert float(out.min()) >= 0 and float(out.max()) <= 1
+
+
+def test_unet_discriminator_localizer(rng):
+    model = nets.UNetDiscriminator(dim=16, residual_blocks=2)
+    x = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    (out, feats), _ = model.apply(variables, x, mutable=["spectral"])
+    assert out.shape == (1, 32, 32, 1)
+    assert float(out.min()) >= 0 and float(out.max()) <= 1
+    assert len(feats) == 2
+
+
+def test_discriminators(rng):
+    x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    d = nets.Discriminator(dim=8)
+    v = d.init(jax.random.PRNGKey(0), x)
+    out, _ = d.apply(v, x, mutable=["spectral"])
+    assert out.shape == (1, 2, 2, 1)
+
+    dg = nets.DGDiscriminator(dim=16)
+    v = dg.init(jax.random.PRNGKey(0), x)
+    (out, feats), _ = dg.apply(v, x, mutable=["spectral"])
+    assert len(feats) == 5
+
+
+def test_hidden_pipeline(rng):
+    model = nets.HiddenEncoderDecoder(message_length=30, encoder_blocks=2,
+                                      decoder_blocks=3)
+    img = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    msg = jnp.asarray((rng.random((2, 30)) > 0.5).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), img, msg)
+    (enc, noised, dec), _ = model.apply(variables, img, msg,
+                                        mutable=["batch_stats"])
+    assert enc.shape == img.shape
+    assert dec.shape == msg.shape

@@ -1,0 +1,231 @@
+"""Flagship video watermarking trainer — the TPU re-design of `IRNcropModel`
+(models/IRNcrop_model.py, the only model reachable from train.py).
+
+Train step (IRNcrop_model.py:325-451), all inside ONE jitted, donated program:
+  1. INN embeds the watermark: frames channel-stacked (T·3 = 12, the netG
+     `dims_in=[[12,·,·]]`), forward through the invertible chain, then
+     clamp-with-grad + straight-through 8-bit quantization (:343-345).
+  2. Splice tamper: fwd·(1−mask) + previous_batch·mask (:348).
+  3. 5-way per-frame attack pool mixed by softmax α (:350-373) — fused
+     `attack_pool_video`, with the *intended* mixture semantics (the committed
+     loop drops the images, a documented bug we do not copy).
+  4. UNet predicts the per-frame tamper mask (:376).
+  5. Losses: BCE-with-logits forward-fidelity with PSNR-gated weight
+     (1.0 below 33 dB else 0.8, :378-393) + mask BCE; joint AdamW update of
+     the INN and UNet with grad-clip 1.0 (:407-416).
+  6. `previous_images` ring buffer carried as explicit state (:445-450).
+
+The PSNR gate is a `jnp.where` on the loss weight — same math, no host sync.
+Randomness is an explicit PRNG key per step (the reference draws np/torch
+globals mid-step).
+"""
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..attacks import attack_pool_video
+from ..config import Config
+from ..metrics import bce_with_logits, psnr255_int, f1_sweep, ssim
+from ..nets import InvertibleNet, UNet
+from ..ops.quantize import clamp_with_grad, ste_quantize_255
+from .state import NetState, adamw_chain
+
+
+class VideoBatch(NamedTuple):
+    video: jnp.ndarray  # (B, T, H, W, 3) in [0,1]
+    mask: jnp.ndarray   # (B, T, H, W, 1) in {0,1}
+
+
+def _to_channels(video):
+    """(B, T, H, W, C) → (B, H, W, T·C) — the 12-channel INN input layout."""
+    b, t, h, w, c = video.shape
+    return jnp.moveaxis(video, 1, -2).reshape(b, h, w, t * c)
+
+
+def _to_frames(x, t):
+    """(B, H, W, T·C) → (B, T, H, W, C)."""
+    b, h, w, tc = x.shape
+    return jnp.moveaxis(x.reshape(b, h, w, t, tc // t), -2, 1)
+
+
+class VideoWatermarkModel:
+    """Builds the two trainable nets of the reachable path (netG INN +
+    `generator` UNet — the only two whose optimizers step,
+    IRNcrop_model.py:407-416) and exposes jitted train/eval/infer functions."""
+
+    def __init__(self, cfg: Config, mesh=None, attack_ratios=None):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.frames = cfg.data.frames
+        self.attack_ratios = attack_ratios
+        mc, tc = cfg.model, cfg.train
+
+        self.inn = InvertibleNet(
+            channels=3 * self.frames, down_num=mc.inn_down_num,
+            block_num=mc.inn_block_num, subnet=mc.inn_subnet)
+        self.unet = UNet(out_channels=1, init_features=mc.unet_features)
+        self.tx = adamw_chain(tc.lr, tc.beta1, tc.beta2, tc.weight_decay,
+                              tc.gradient_clipping)
+
+    # ------------------------------------------------------------------ init
+
+    def init_states(self, key) -> Dict[str, NetState]:
+        s = self.cfg.data.gt_size
+        k1, k2 = jax.random.split(key)
+        x12 = jnp.zeros((1, s, s, 3 * self.frames), jnp.float32)
+        inn_vars = self.inn.init(k1, x12)
+        x3 = jnp.zeros((1, s, s, 3), jnp.float32)
+        unet_vars = self.unet.init(k2, x3)
+        states = {
+            "netG": NetState.create(
+                self.inn.apply, inn_vars["params"],
+                {k: v for k, v in inn_vars.items() if k != "params"}, self.tx),
+            "generator": NetState.create(
+                self.unet.apply, unet_vars["params"],
+                {k: v for k, v in unet_vars.items() if k != "params"}, self.tx),
+        }
+        if self.mesh is not None:
+            from ..parallel import replicate
+            states = replicate(states, self.mesh)
+        return states
+
+    # ------------------------------------------------------------ forward ops
+
+    def embed(self, states, video):
+        """Watermark-embed a video clip: INN fwd + clamp + quantize."""
+        x = _to_channels(video)
+        fwd = self.inn.apply({"params": states["netG"].params,
+                              **states["netG"].variables}, x)
+        fwd = ste_quantize_255(clamp_with_grad(fwd))
+        return _to_frames(fwd, self.frames)
+
+    def predict_mask(self, states, video, train=False):
+        """UNet tamper mask per frame; frames folded into batch."""
+        b, t, h, w, c = video.shape
+        flat = video.reshape(b * t, h, w, c)
+        gen = states["generator"]
+        if train:
+            out, new_vars = self.unet.apply(
+                {"params": gen.params, **gen.variables}, flat, train=True,
+                mutable=["batch_stats"])
+            return out.reshape(b, t, h, w, 1), new_vars
+        out = self.unet.apply({"params": gen.params, **gen.variables}, flat,
+                              train=False)
+        return out.reshape(b, t, h, w, 1)
+
+    # -------------------------------------------------------------- train step
+
+    def _loss(self, params, states, batch: VideoBatch, prev_images, key):
+        tc = self.cfg.train
+        video, mask = batch.video, batch.mask
+        b, t = video.shape[0], video.shape[1]
+
+        x = _to_channels(video)
+        fwd = self.inn.apply({"params": params["netG"],
+                              **states["netG"].variables}, x)
+        fwd = ste_quantize_255(clamp_with_grad(fwd))
+        fwd_video = _to_frames(fwd, t)
+
+        # splice tamper with the previous batch (IRNcrop_model.py:348)
+        attacked_fwd = fwd_video * (1.0 - mask) + prev_images * mask
+
+        k_atk, _ = jax.random.split(key)
+        attacked = attack_pool_video(k_atk, attacked_fwd,
+                                     ratios=self.attack_ratios)
+        attacked = ste_quantize_255(clamp_with_grad(attacked))
+
+        flat = attacked.reshape(b * t, *attacked.shape[2:])
+        pred, new_unet_vars = self.unet.apply(
+            {"params": params["generator"], **states["generator"].variables},
+            flat, train=True, mutable=["batch_stats"])
+        pred_mask = pred.reshape(b, t, *pred.shape[1:])
+
+        psnr_forward = jax.lax.stop_gradient(psnr255_int(video, fwd_video))
+        w_fwd = jnp.where(psnr_forward < tc.psnr_gate,
+                          tc.loss_weight_low, tc.loss_weight_high)
+        # NB: parity quirk — the reference feeds *images* through
+        # BCEWithLogitsLoss for forward fidelity (IRNcrop_model.py:378-388)
+        # and the sigmoid-activated UNet output for the mask loss (:391-393).
+        l_forward = w_fwd * bce_with_logits(fwd_video, video)
+        l_backward = bce_with_logits(pred_mask, mask)
+        loss = l_forward + l_backward
+        aux = {
+            "lF": l_forward, "lB": l_backward, "PF": psnr_forward,
+            "unet_vars": new_unet_vars,
+        }
+        return loss, aux
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def train_step(self, states, batch: VideoBatch, prev_images, key):
+        params = {"netG": states["netG"].params,
+                  "generator": states["generator"].params}
+        (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
+            params, states, batch, prev_images, key)
+        new_states = {
+            "netG": states["netG"].apply_gradients(grads["netG"]),
+            "generator": states["generator"].apply_gradients(
+                grads["generator"]).replace(variables=aux["unet_vars"]),
+        }
+        logs = {"loss": loss, "lF": aux["lF"], "lB": aux["lB"], "PF": aux["PF"]}
+        return new_states, logs
+
+    # ------------------------------------------------------------------- eval
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def eval_step(self, states, batch: VideoBatch, prev_images, key):
+        """Embed → splice → attack → localize; returns quality + F1 metrics."""
+        video, mask = batch.video, batch.mask
+        fwd_video = self.embed(states, video)
+        attacked_fwd = fwd_video * (1.0 - mask) + prev_images * mask
+        attacked = attack_pool_video(key, attacked_fwd,
+                                     ratios=self.attack_ratios)
+        attacked = jnp.clip(attacked, 0.0, 1.0)
+        pred_mask = self.predict_mask(states, attacked, train=False)
+        _, f1s = f1_sweep(pred_mask, mask)
+        return {
+            "psnr_forward": psnr255_int(video, fwd_video),
+            "ssim_forward": ssim(
+                fwd_video.reshape(-1, *fwd_video.shape[2:]),
+                video.reshape(-1, *video.shape[2:])),
+            "f1_best": jnp.max(f1s),
+            "f1_sweep": f1s,
+        }
+
+    # ------------------------------------------------------------------ loop
+
+    def fit(self, loader, steps: int, key=None, states=None, log_every=None,
+            progbar=None, ckpt_dir=None):
+        """Epoch/iter loop (train.py:91-109) with the previous-images ring
+        buffer carried host-side (device arrays, no transfers)."""
+        from .state import save_checkpoint
+        tc = self.cfg.train
+        key = key if key is not None else jax.random.PRNGKey(tc.seed)
+        if states is None:
+            key, k0 = jax.random.split(key)
+            states = self.init_states(k0)
+        prev = None
+        step = 0
+        logs_out = {}
+        while step < steps:
+            for item in loader:
+                if step >= steps:
+                    break
+                video, mask = item
+                batch = VideoBatch(jnp.asarray(video), jnp.asarray(mask))
+                if prev is None:
+                    prev = batch.video  # first batch only seeds the buffer
+                    continue
+                key, k = jax.random.split(key)
+                states, logs = self.train_step(states, batch, prev, k)
+                prev = batch.video
+                step += 1
+                logs_out = {k2: float(v) for k2, v in logs.items()}
+                if progbar is not None:
+                    progbar.add(1, values=list(logs_out.items()))
+                if ckpt_dir and step % tc.save_interval == 0:
+                    save_checkpoint(ckpt_dir, step, states)
+        return states, logs_out

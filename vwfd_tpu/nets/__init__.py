@@ -1,0 +1,17 @@
+"""Network architectures — reference: models/invertible_net.py, models/networks.py,
+network/, hidden_models/, mbrs_models/, models/conditional_jpeg_generator.py."""
+
+from .blocks import SNConv, ResnetBlock, ConvBNRelu, scaled_glorot, scaled_kaiming
+from .inn import InvertibleNet, RNVPCoupling, DenseSubnet, ResSubnet
+from .unet import UNet
+from .localizer import UNetDiscriminator
+from .discriminator import Discriminator, DGDiscriminator
+from .hidden import (
+    HiddenEncoder, HiddenDecoder, HiddenDiscriminator, HiddenEncoderDecoder,
+)
+from .mbrs import (
+    SENet, SENetDecoder, ExpandNet, SEBottleneck,
+    MBRSEncoder, MBRSDecoder, MBRSPlainDecoder,
+    BalujaPrep, BalujaHiding, BalujaReveal,
+)
+from .fbcnn import FBCNN, QFPredictor
