@@ -30,6 +30,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+    # persistent compile cache: repeat bench invocations skip the ~10-min
+    # host-side XLA compile on this 1-core box
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from vwfd_tpu.config import Config, DataConfig, ModelConfig
     from vwfd_tpu.models import VideoWatermarkModel

@@ -17,13 +17,15 @@ import numpy as np
 
 class Loader:
     def __init__(self, dataset, batch_size, shuffle=True, seed=0,
-                 prefetch=2, sharding=None):
+                 prefetch=2, sharding=None, ratio=1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
         self.sharding = sharding
+        # epoch-enlargement factor (DistIterSampler ratio, train.py:57 uses 200)
+        self.ratio = ratio
 
     def _make_batch(self, idxs):
         items = [self.dataset[i] for i in idxs]
@@ -40,8 +42,8 @@ class Loader:
         return batch
 
     def __iter__(self):
-        n = len(self.dataset)
-        order = np.arange(n)
+        n = len(self.dataset) * self.ratio
+        order = np.arange(n) % len(self.dataset)
         if self.shuffle:
             self.rng.shuffle(order)
         q = queue.Queue(maxsize=self.prefetch)
@@ -62,4 +64,4 @@ class Loader:
             yield item
 
     def __len__(self):
-        return len(self.dataset) // self.batch_size
+        return len(self.dataset) * self.ratio // self.batch_size

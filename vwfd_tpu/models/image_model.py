@@ -1,0 +1,252 @@
+"""Still-image immunization family — the IRN / IRN-PAMI / CLRNet orchestrators
+(models/IRN_model.py:603+, models/IRNp_model.py:449+, models/IRNclr_model.py:428+).
+
+Shared skeleton (SURVEY.md §3.2), all inside one jitted step:
+  1. 4-ch INN embed: netG(concat(img, canny)) → (immunized RGB, null channel)
+     (IRNclr_model.py:462-467).
+  2. Tamper: splice with previous batch through the stroke mask
+     (IRNp_model.py:499,561-601; masks precomputed host-side).
+  3. k-way attack fan-out, concatenated on the batch dim B→kB
+     (IRNclr_model.py:504-546) — here a stacked vmap over the attack axis.
+  4. Localizer predicts the tamper mask on every attacked copy; with
+     `with_apex=True` a crop is applied first and the apex-regressor predicts
+     the crop rectangle (IRNclr_model.py:570-617).
+  5. Reverse pass: netG(concat(rectified, canny(rectified)), rev=True) →
+     recovered image + recovered watermark channel (IRNclr_model.py:619-634)
+     — the mid-step canny is the on-device `canny_soft`, not a CPU round trip.
+  6. Losses with the reference's PSNR-gated weights: L1 forward + 16·null +
+     L1 backward + canny-back + 0.01·perceptual + 0.01·SSIM
+     (IRNcrop_model.py:558-600 / IRNclr_model.py:637-660).
+"""
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..attacks import jpeg_pool, resize_roundtrip, gaussian_noise
+from ..attacks.blur import gaussian_blur_attack, median_blur_attack
+from ..attacks.spatial import sample_crop_apex
+from ..config import Config
+from ..metrics import (
+    l1_loss, l2_loss, bce_with_logits, psnr255_int, ssim, perceptual_loss,
+    f1_sweep,
+)
+from ..nets import InvertibleNet, UNetDiscriminator, QFPredictor
+from ..ops.canny import canny_soft
+from ..ops.quantize import clamp_with_grad, ste_quantize_255
+from ..ops.resize import crop_resize
+from .state import NetState, adamw_chain
+
+
+class ImageBatch(NamedTuple):
+    image: jnp.ndarray   # (B, H, W, 3)
+    canny: jnp.ndarray   # (B, H, W, 1)
+    mask: jnp.ndarray    # (B, H, W, 1) stroke/splice tamper mask
+
+
+class ImageImmunizationModel:
+    """task: 'pami' (Imuge+/splice) or 'clr' (CLRNet crop localization)."""
+
+    def __init__(self, cfg: Config, task: str = "pami", n_attacks: int = 6,
+                 with_apex: Optional[bool] = None, mesh=None,
+                 attack_ratios=None):
+        self.cfg = cfg
+        self.task = task
+        self.n_attacks = n_attacks
+        self.with_apex = task == "clr" if with_apex is None else with_apex
+        self.mesh = mesh
+        self.attack_ratios = attack_ratios
+        mc, tc = cfg.model, cfg.train
+
+        # 4-ch INN (RGB + canny), PAMI composite (IRNp_model.py:158-171,
+        # IRNclr_model.py:151)
+        self.netG = InvertibleNet(channels=4, down_num=mc.inn_down_num,
+                                  block_num=mc.inn_block_num,
+                                  subnet=mc.inn_subnet)
+        self.localizer = UNetDiscriminator(
+            dim=mc.localizer_dim, residual_blocks=mc.localizer_residual_blocks,
+            out_channels=1, use_sigmoid=True)
+        if self.with_apex:
+            # crop-apex regressor (QF_predictor(crop_pred), IRNclr_model.py:148)
+            self.apex_net = QFPredictor(nc=(16, 24, 32, 48), nb=1, classes=4,
+                                        crop_pred=True,
+                                        out_size=cfg.data.gt_size)
+        self.tx = adamw_chain(tc.lr, tc.beta1, tc.beta2, tc.weight_decay,
+                              tc.gradient_clipping)
+
+    def init_states(self, key) -> Dict[str, NetState]:
+        s = self.cfg.data.gt_size
+        ks = jax.random.split(key, 3)
+        x4 = jnp.zeros((1, s, s, 4), jnp.float32)
+        x3 = jnp.zeros((1, s, s, 3), jnp.float32)
+
+        def mk(apply_fn, v):
+            return NetState.create(apply_fn, v["params"],
+                                   {k: x for k, x in v.items() if k != "params"},
+                                   self.tx)
+        states = {"netG": mk(self.netG.apply, self.netG.init(ks[0], x4)),
+                  "localizer": mk(self.localizer.apply,
+                                  self.localizer.init(ks[1], x3))}
+        if self.with_apex:
+            states["apex"] = mk(self.apex_net.apply,
+                                self.apex_net.init(ks[2], x3))
+        if self.mesh is not None:
+            from ..parallel import replicate
+            states = replicate(states, self.mesh)
+        return states
+
+    # --------------------------------------------------------------- pieces
+
+    def embed(self, states, image, canny):
+        fwd = self.netG.apply({"params": states["netG"].params,
+                               **states["netG"].variables},
+                              jnp.concatenate([image, canny], -1))
+        rgb = ste_quantize_255(clamp_with_grad(fwd[..., :3]))
+        null = fwd[..., 3:]
+        return rgb, null
+
+    def _attack_fanout(self, key, img):
+        """k attacked copies stacked on a new leading axis (fan-out B→kB).
+        Pool mirrors IRNclr_model.py:504-546: identity+quant, jpeg pool ×2,
+        resize round-trip, median, gaussian blur (+noise beyond 6)."""
+        ks = jax.random.split(key, self.n_attacks)
+        pool = [
+            lambda k, x: ste_quantize_255(x),
+            lambda k, x: jpeg_pool(k, x),
+            lambda k, x: (resize_roundtrip(k, x) if self.attack_ratios is None
+                          else resize_roundtrip(k, x, ratios=self.attack_ratios)),
+            lambda k, x: median_blur_attack(k, x),
+            lambda k, x: gaussian_blur_attack(k, x),
+            lambda k, x: jpeg_pool(k, x),
+            lambda k, x: gaussian_noise(k, x),
+        ]
+        outs = [jnp.clip(pool[i % len(pool)](ks[i], img), 0.0, 1.0)
+                for i in range(self.n_attacks)]
+        return jnp.stack(outs, axis=0)  # (k, B, H, W, 3)
+
+    # ----------------------------------------------------------- train step
+
+    def _loss(self, params, states, batch: ImageBatch, prev_images, key):
+        tc = self.cfg.train
+        img, canny, mask = batch
+        b, h, w, _ = img.shape
+        k_atk, k_crop = jax.random.split(key)
+
+        fwd_rgb, fwd_null = self._embed_p(params, states, img, canny)
+
+        tampered = fwd_rgb * (1.0 - mask) + prev_images * mask
+        attacked = self._attack_fanout(k_atk, tampered)  # (k,B,H,W,3)
+        k = attacked.shape[0]
+        flat = attacked.reshape(k * b, h, w, 3)
+
+        # ---- localizer (mask) on all attacked copies
+        pred_mask, loc_vars = self.localizer.apply(
+            {"params": params["localizer"], **states["localizer"].variables},
+            flat, update_sn=True, mutable=["spectral"])
+        pred_mask = pred_mask[0] if isinstance(pred_mask, tuple) else pred_mask
+        gt_mask = jnp.tile(mask, (k, 1, 1, 1))
+        l_mask = l1_loss(pred_mask, gt_mask)
+
+        # ---- optional crop + apex regression (CLR)
+        aux_apex = {}
+        apex_vars = None
+        rectified = flat
+        if self.with_apex:
+            apex = sample_crop_apex(k_crop, (h, w), 0.5, 1.0)
+            cropped = crop_resize(flat, apex)
+            (apex_mask, apex_pred), apex_vars = self.apex_net.apply(
+                {"params": params["apex"], **states["apex"].variables},
+                cropped, mutable=["spectral", "batch_stats"])
+            target = jnp.asarray([apex[0] / h, apex[1] / h,
+                                  apex[2] / w, apex[3] / w])
+            l_apex = l2_loss(apex_pred, jnp.tile(target[None], (k * b, 1)))
+            aux_apex = {"l_apex": l_apex}
+            rectified = cropped
+
+        # ---- reverse pass on the first attacked copy (reference reverses the
+        # concatenated fan-out; one copy keeps memory bounded — k-way reverse
+        # is a config knob for later rounds)
+        rect0 = rectified[:b]
+        canny_rect = canny_soft(rect0)
+        rev_in = jnp.concatenate([rect0, canny_rect], -1)
+        reversed_stuff, _ = self.netG.apply(
+            {"params": params["netG"], **states["netG"].variables},
+            rev_in, rev=True)
+        rev_rgb = jnp.clip(reversed_stuff[..., :3], 0.0, 1.0)
+        rev_wm = jnp.clip(reversed_stuff[..., 3:], 0.0, 1.0)
+
+        # ---- losses (IRNcrop_model.py:558-600 weights)
+        l_forward = l1_loss(fwd_rgb, img)
+        l_null = l1_loss(fwd_null, jnp.zeros_like(fwd_null))
+        l_forward = l_forward + 16.0 * l_null
+        l_backward = l1_loss(rev_rgb, img) + l1_loss(rev_wm, canny)
+        l_forward = l_forward + 0.01 * perceptual_loss(fwd_rgb, img)
+        l_backward = l_backward + 0.01 * perceptual_loss(
+            jnp.tile(rev_wm, (1, 1, 1, 3)), jnp.tile(canny, (1, 1, 1, 3)))
+
+        psnr_f = jax.lax.stop_gradient(psnr255_int(img, fwd_rgb))
+        psnr_b = jax.lax.stop_gradient(psnr255_int(canny, rev_wm))
+        alpha_f = jnp.where(psnr_f < 32.0, 1.5, 1.0)
+        alpha_b = jnp.where(psnr_f - psnr_b > 1.0, 1.25 * 8.0, 8.0)
+        loss = alpha_f * l_forward + alpha_b * l_backward
+        loss = loss + 0.01 * (1.0 - ssim(fwd_rgb, img))
+        loss = loss + l_mask
+        if self.with_apex:
+            loss = loss + aux_apex["l_apex"]
+
+        aux = {"lF": l_forward, "lB": l_backward, "l_mask": l_mask,
+               "PF": psnr_f, "PB": psnr_b, "NULL": l_null,
+               "loc_vars": loc_vars, "apex_vars": apex_vars, **aux_apex}
+        return loss, aux
+
+    def _embed_p(self, params, states, img, canny):
+        fwd = self.netG.apply({"params": params["netG"],
+                               **states["netG"].variables},
+                              jnp.concatenate([img, canny], -1))
+        return (ste_quantize_255(clamp_with_grad(fwd[..., :3])), fwd[..., 3:])
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def train_step(self, states, batch: ImageBatch, prev_images, key):
+        params = {k: s.params for k, s in states.items()}
+        (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
+            params, states, batch, prev_images, key)
+        new_states = {
+            "netG": states["netG"].apply_gradients(grads["netG"]),
+            "localizer": states["localizer"].apply_gradients(
+                grads["localizer"]).replace(variables=aux["loc_vars"]),
+        }
+        if self.with_apex:
+            new_states["apex"] = states["apex"].apply_gradients(
+                grads["apex"]).replace(variables=aux["apex_vars"])
+        logs = {k: v for k, v in aux.items()
+                if k not in ("loc_vars", "apex_vars")}
+        logs["loss"] = loss
+        return new_states, logs
+
+    # ----------------------------------------------------------------- eval
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def eval_step(self, states, batch: ImageBatch, prev_images, key):
+        """Immunize → tamper → attack → localize → reverse; quality + F1
+        (the folder protocol of IRNclr_model.evaluate:765-905 without IO)."""
+        img, canny, mask = batch
+        fwd_rgb, fwd_null = self._embed_p(
+            {k: s.params for k, s in states.items()}, states, img, canny)
+        tampered = fwd_rgb * (1.0 - mask) + prev_images * mask
+        attacked = jnp.clip(self._attack_fanout(key, tampered)[0], 0.0, 1.0)
+        pred_mask, _ = self.localizer.apply(
+            {"params": states["localizer"].params,
+             **states["localizer"].variables}, attacked)
+        rev_in = jnp.concatenate([attacked, canny_soft(attacked)], -1)
+        reversed_stuff, _ = self.netG.apply(
+            {"params": states["netG"].params, **states["netG"].variables},
+            rev_in, rev=True)
+        rev_rgb = jnp.clip(reversed_stuff[..., :3], 0.0, 1.0)
+        _, f1s = f1_sweep(pred_mask, mask)
+        return {"psnr_forward": psnr255_int(img, fwd_rgb),
+                "psnr_backward": psnr255_int(img, rev_rgb),
+                "ssim_forward": ssim(fwd_rgb, img),
+                "f1_best": jnp.max(f1s), "f1_sweep": f1s,
+                "recovered": rev_rgb, "predicted_mask": pred_mask}

@@ -1,0 +1,147 @@
+"""KD-JPEG trainer — the RHI JPEG-simulator family (models/IRNrhi_model.py).
+
+A batch carries the same images pre-compressed at 6 quality levels (the
+LQ dataset, data/LQ_dataset.py) with per-sample QF labels. Per step
+(IRNrhi_model.py:425-527):
+  1. QF-classifier step: CE(localizer(real_jpeg_batch), qf_label), its own
+     AdamW update (:452-462).
+  2. Simulator step: FBCNN generates JPEG conditioned on label/5; loss =
+     L1(simulated, real_jpeg) + 5·L1(bayar(simulated), bayar(real).detach())
+     + 0.01·CE(QF(simulated), label) + 0.01·BCE GAN vs discriminator
+     (:464-530).
+  3. Discriminator step: real vs simulated BCE (:489-504).
+All three updates run in one jitted program.
+"""
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..metrics import l1_loss, bce_loss, psnr255_int
+from ..nets import FBCNN, QFPredictor, Discriminator
+from .state import NetState, adamw_chain
+
+
+def _ce(logits, labels):
+    return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+        logits, labels.astype(jnp.int32)))
+
+
+class KDJpegModel:
+    def __init__(self, cfg: Config, qf_classes: int = 6, size=None,
+                 nc=(32, 64, 128, 256), nb=4, disc_dim=32):
+        self.cfg = cfg
+        self.size = size or cfg.data.gt_size
+        self.qf_classes = qf_classes
+        tc = cfg.train
+        self.generator = FBCNN(nc=nc, nb=nb)           # JPEG simulator
+        self.localizer = QFPredictor(nc=nc, nb=1, classes=qf_classes)
+        self.discriminator = Discriminator(dim=disc_dim, use_sigmoid=True)
+        self.tx = adamw_chain(tc.lr, tc.beta1, tc.beta2, tc.weight_decay,
+                              tc.gradient_clipping)
+
+    def init_states(self, key) -> Dict[str, NetState]:
+        s = self.size
+        ks = jax.random.split(key, 3)
+        img = jnp.zeros((1, s, s, 3), jnp.float32)
+        qf = jnp.zeros((1, 1), jnp.float32)
+
+        def mk(apply_fn, v):
+            return NetState.create(apply_fn, v["params"],
+                                   {k: x for k, x in v.items() if k != "params"},
+                                   self.tx)
+        return {
+            "generator": mk(self.generator.apply,
+                            self.generator.init(ks[0], img, qf)),
+            "localizer": mk(self.localizer.apply,
+                            self.localizer.init(ks[1], img)),
+            "discriminator": mk(self.discriminator.apply,
+                                self.discriminator.init(ks[2], img)),
+        }
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def train_step(self, states, real_jpeg, labels, key):
+        """real_jpeg: (6B, H, W, 3) images pre-compressed at per-sample QF;
+        labels: (6B,) integer QF class. The first B entries are treated as the
+        clean sources replicated for simulation (IRNrhi_model.py:468-471)."""
+        del key
+        b6 = real_jpeg.shape[0]
+        b = b6 // self.qf_classes
+
+        # ---- 1. QF classifier step
+        def qf_loss_fn(p):
+            bayar, logits = self.localizer.apply(
+                {"params": p, **states["localizer"].variables}, real_jpeg)
+            return _ce(logits, labels), bayar
+
+        (l_qf, bayar_ori), qf_grads = jax.value_and_grad(
+            qf_loss_fn, has_aux=True)(states["localizer"].params)
+        new_loc = states["localizer"].apply_gradients(qf_grads)
+        bayar_ori = jax.lax.stop_gradient(bayar_ori)
+
+        # ---- simulate with the *updated* classifier frozen
+        qf_input = (labels.astype(jnp.float32) / float(self.qf_classes - 1))[:, None]
+        sim_src = jnp.tile(real_jpeg[:b], (self.qf_classes, 1, 1, 1))
+
+        def sim(gen_params):
+            out, _ = self.generator.apply(
+                {"params": gen_params, **states["generator"].variables},
+                sim_src, qf_input)
+            return jnp.clip(out, 0.0, 1.0)
+
+        # ---- 2. discriminator step (on detached simulation)
+        simulated_detached = jax.lax.stop_gradient(sim(states["generator"].params))
+
+        def d_loss_fn(p):
+            d_real, dv = self.discriminator.apply(
+                {"params": p, **states["discriminator"].variables}, real_jpeg,
+                update_sn=True, mutable=["spectral"])
+            d_fake, dv = self.discriminator.apply(
+                {"params": p, **dv}, simulated_detached,
+                update_sn=True, mutable=["spectral"])
+            loss = 0.5 * (bce_loss(d_real, jnp.ones_like(d_real)) +
+                          bce_loss(d_fake, jnp.zeros_like(d_fake)))
+            return loss, dv
+
+        (dis_loss, d_vars), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(states["discriminator"].params)
+        new_disc = states["discriminator"].apply_gradients(d_grads).replace(
+            variables=d_vars)
+
+        # ---- 3. simulator (generator) step
+        def g_loss_fn(gen_params):
+            simulated = sim(gen_params)
+            l_simul = l1_loss(simulated, real_jpeg)
+            bayar_sim, qf_sim = self.localizer.apply(
+                {"params": new_loc.params, **new_loc.variables}, simulated)
+            l_bayar = l1_loss(bayar_sim, bayar_ori)
+            l_qf_sim = _ce(qf_sim, labels)
+            g_fake = self.discriminator.apply(
+                {"params": new_disc.params, **new_disc.variables}, simulated)
+            fw_gan = bce_loss(g_fake, jnp.ones_like(g_fake))
+            loss = l_simul + 5.0 * l_bayar + 0.01 * l_qf_sim + 0.01 * fw_gan
+            return loss, (l_simul, l_bayar, l_qf_sim, fw_gan, simulated)
+
+        (g_total, (l_simul, l_bayar, l_qf_sim, fw_gan, simulated)), g_grads = \
+            jax.value_and_grad(g_loss_fn, has_aux=True)(
+                states["generator"].params)
+        new_gen = states["generator"].apply_gradients(g_grads)
+
+        new_states = {"generator": new_gen, "localizer": new_loc,
+                      "discriminator": new_disc}
+        logs = {"lQF": l_qf, "l_simul": l_simul, "l_simul_bayar": l_bayar,
+                "qfsimu": l_qf_sim, "FW_GAN": fw_gan, "dis_loss": dis_loss,
+                "PSSIMU": psnr255_int(simulated, real_jpeg)}
+        return new_states, logs
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def simulate(self, states, images, qf01):
+        """Simulate JPEG at normalized quality `qf01` ∈ [0,1], (B,1)."""
+        out, _ = self.generator.apply(
+            {"params": states["generator"].params,
+             **states["generator"].variables}, images, qf01)
+        return jnp.clip(out, 0.0, 1.0)

@@ -15,3 +15,10 @@ from .mbrs import (
     BalujaPrep, BalujaHiding, BalujaReveal,
 )
 from .fbcnn import FBCNN, QFPredictor
+from .sunet import SUNet, SwinBlock, WindowAttention
+from .srmnet import SRMNet, SKFF, SKRDB
+from .wavelet import BSR, BBlock
+from .zoo import (
+    SelfAttention, NormalGenerator, EdgeGenerator, InpaintGenerator,
+    DiscriminatorVGG128, CropLocalizeNet, InvBlockExp, InvRescaleNet,
+)
