@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--tiny", action="store_true", help="CPU smoke config")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--breakdown", action="store_true",
+                    help="also time embed/attack/extract separately (stderr)")
     args = ap.parse_args()
 
     import jax
@@ -43,7 +45,7 @@ def main():
         mc = ModelConfig(inn_down_num=2, inn_block_num=(1, 1), unet_features=4)
         ratios = (0.5, 1.0, 1.5)
     else:
-        size, frames, batch, steps, warmup = 256, 4, args.batch or 4, args.steps or 20, 3
+        size, frames, batch, steps, warmup = 256, 4, args.batch or 32, args.steps or 10, 3
         mc = ModelConfig()
         ratios = None
 
@@ -68,6 +70,29 @@ def main():
     key = jax.random.PRNGKey(1)
     a = (states["netG"].params, states["netG"].variables,
          states["generator"].params, states["generator"].variables)
+
+    if args.breakdown:
+        import sys
+        from vwfd_tpu.attacks import attack_pool_video
+
+        def timed(name, fn, *fargs):
+            f = jax.jit(fn)
+            o = f(*fargs)
+            jax.block_until_ready(o)
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                o = f(*fargs)
+            jax.block_until_ready(o)
+            dt = (time.perf_counter() - t0) / steps
+            print(f"[breakdown] {name}: {dt*1e3:.1f} ms/step "
+                  f"({batch*frames/dt:.0f} fps)", file=sys.stderr)
+            return o
+
+        emb = timed("embed", lambda v: model.embed(states, v), video)
+        atk = timed("attack", lambda v, k: attack_pool_video(k, v, ratios=ratios),
+                    emb, key)
+        timed("extract", lambda v: model.predict_mask(states, v, train=False),
+              jnp.clip(atk, 0, 1))
 
     for _ in range(warmup):
         out = pipeline(*a, video, key)

@@ -85,7 +85,9 @@ def test_bsr_wavelet_net(rng):
     x = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))
     v = m.init(jax.random.PRNGKey(0), x)
     out = m.apply(v, x)
-    assert out.shape == (1, 32, 32, 1)
+    # the reference BSR skips the final IWT (mwnet.py:107-113 "# x without
+    # IWT") → output at half the input resolution
+    assert out.shape == (1, 16, 16, 1)
     assert float(out.min()) >= 0 and float(out.max()) <= 1
 
 

@@ -64,10 +64,15 @@ class VideoWatermarkModel:
         self.attack_ratios = attack_ratios
         mc, tc = cfg.model, cfg.train
 
+        # bf16 compute (the TPU analog of the reference's fp16 AMP,
+        # IRNcrop_model.py:143,340); params and losses stay f32.
+        self.compute_dtype = jnp.bfloat16 if tc.dtype == "bfloat16" else None
         self.inn = InvertibleNet(
             channels=3 * self.frames, down_num=mc.inn_down_num,
-            block_num=mc.inn_block_num, subnet=mc.inn_subnet)
-        self.unet = UNet(out_channels=1, init_features=mc.unet_features)
+            block_num=mc.inn_block_num, subnet=mc.inn_subnet,
+            dtype=self.compute_dtype)
+        self.unet = UNet(out_channels=1, init_features=mc.unet_features,
+                         dtype=self.compute_dtype)
         self.tx = adamw_chain(tc.lr, tc.beta1, tc.beta2, tc.weight_decay,
                               tc.gradient_clipping)
 

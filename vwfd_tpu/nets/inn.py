@@ -28,20 +28,24 @@ class DenseSubnet(nn.Module):
     """5-conv dense block, ELU, zero-init final (invertible_net.py:301-324)."""
     out_channels: int
     gc: int = 32
+    dtype: object = None  # compute dtype (bf16 for TPU speed; params stay f32)
 
     @nn.compact
     def __call__(self, x):
         init = scaled_glorot(0.1)
-        x1 = nn.elu(nn.Conv(self.gc, (3, 3), padding=1, kernel_init=init)(x))
-        x2 = nn.elu(nn.Conv(self.gc, (3, 3), padding=1, kernel_init=init)(
-            jnp.concatenate([x, x1], -1)))
-        x3 = nn.elu(nn.Conv(self.gc, (3, 3), padding=1, kernel_init=init)(
-            jnp.concatenate([x, x1, x2], -1)))
-        x4 = nn.elu(nn.Conv(self.gc, (3, 3), padding=1, kernel_init=init)(
-            jnp.concatenate([x, x1, x2, x3], -1)))
-        return nn.Conv(self.out_channels, (3, 3), padding=1,
-                       kernel_init=nn.initializers.zeros)(
+        dt = self.dtype
+        x1 = nn.elu(nn.Conv(self.gc, (3, 3), padding=1, kernel_init=init,
+                            dtype=dt)(x))
+        x2 = nn.elu(nn.Conv(self.gc, (3, 3), padding=1, kernel_init=init,
+                            dtype=dt)(jnp.concatenate([x, x1], -1)))
+        x3 = nn.elu(nn.Conv(self.gc, (3, 3), padding=1, kernel_init=init,
+                            dtype=dt)(jnp.concatenate([x, x1, x2], -1)))
+        x4 = nn.elu(nn.Conv(self.gc, (3, 3), padding=1, kernel_init=init,
+                            dtype=dt)(jnp.concatenate([x, x1, x2, x3], -1)))
+        out = nn.Conv(self.out_channels, (3, 3), padding=1,
+                      kernel_init=nn.initializers.zeros, dtype=dt)(
             jnp.concatenate([x, x1, x2, x3, x4], -1))
+        return out.astype(jnp.float32)
 
 
 class ResSubnet(nn.Module):
@@ -49,17 +53,24 @@ class ResSubnet(nn.Module):
     (invertible_net.py:326-366)."""
     out_channels: int
     feature: int = 64
+    dtype: object = None  # compute dtype (bf16 for TPU speed; params stay f32)
 
     @nn.compact
     def __call__(self, x):
         init = scaled_glorot(0.1)
-        h = nn.elu(nn.Conv(self.feature, (3, 3), padding=1, kernel_init=init)(x))
-        h = nn.elu(nn.Conv(self.feature, (3, 3), padding=1, kernel_init=init)(h))
-        h = nn.elu(nn.Conv(self.feature, (3, 3), padding=1, kernel_init=init)(h))
-        h = nn.elu(nn.Conv(self.feature, (3, 3), padding=1, kernel_init=init)(h))
-        return nn.Conv(self.out_channels, (3, 3), padding=1,
-                       kernel_init=nn.initializers.zeros)(
+        dt = self.dtype
+        h = nn.elu(nn.Conv(self.feature, (3, 3), padding=1, kernel_init=init,
+                           dtype=dt)(x))
+        h = nn.elu(nn.Conv(self.feature, (3, 3), padding=1, kernel_init=init,
+                           dtype=dt)(h))
+        h = nn.elu(nn.Conv(self.feature, (3, 3), padding=1, kernel_init=init,
+                           dtype=dt)(h))
+        h = nn.elu(nn.Conv(self.feature, (3, 3), padding=1, kernel_init=init,
+                           dtype=dt)(h))
+        out = nn.Conv(self.out_channels, (3, 3), padding=1,
+                      kernel_init=nn.initializers.zeros, dtype=dt)(
             jnp.concatenate([x, h], -1))
+        return out.astype(jnp.float32)
 
 
 _SUBNETS = {"res": ResSubnet, "dense": DenseSubnet}
@@ -72,30 +83,58 @@ def _e(s):
 
 
 class RNVPCoupling(nn.Module):
-    """RealNVP affine coupling block (invertible_net.py:122-175)."""
+    """RealNVP affine coupling block (invertible_net.py:122-175).
+
+    `fused_st=True` (TPU default) computes each (s, t) pair from ONE subnet
+    trunk with a double-width zero-init head instead of the reference's two
+    separate subnets — identical expressivity and invertibility, half the
+    conv FLOPs, and wider (more MXU-efficient) final matmuls. Set False for
+    the reference's exact parameterization."""
     channels: int
     subnet: str = "res"
+    dtype: object = None
+    fused_st: bool = True
 
     def setup(self):
         split1 = self.channels // 2
         split2 = self.channels - split1
         sub = _SUBNETS[self.subnet]
-        self.s1 = sub(split2)
-        self.t1 = sub(split2)
-        self.s2 = sub(split1)
-        self.t2 = sub(split1)
+        if self.fused_st:
+            self.st1 = sub(2 * split2, dtype=self.dtype)
+            self.st2 = sub(2 * split1, dtype=self.dtype)
+        else:
+            self.s1 = sub(split2, dtype=self.dtype)
+            self.t1 = sub(split2, dtype=self.dtype)
+            self.s2 = sub(split1, dtype=self.dtype)
+            self.t2 = sub(split1, dtype=self.dtype)
         self._split1 = split1
+
+    def _st1(self, z):
+        if self.fused_st:
+            h = self.st1(z)
+            return h[..., :h.shape[-1] // 2], h[..., h.shape[-1] // 2:]
+        return self.s1(z), self.t1(z)
+
+    def _st2(self, z):
+        if self.fused_st:
+            h = self.st2(z)
+            return h[..., :h.shape[-1] // 2], h[..., h.shape[-1] // 2:]
+        return self.s2(z), self.t2(z)
 
     def forward(self, x):
         x1, x2 = x[..., :self._split1], x[..., self._split1:]
-        y1 = _e(self.s2(x2)) * x1 + self.t2(x2)
-        y2 = _e(self.s1(y1)) * x2 + self.t1(y1)
+        s2, t2 = self._st2(x2)
+        y1 = _e(s2) * x1 + t2
+        s1, t1 = self._st1(y1)
+        y2 = _e(s1) * x2 + t1
         return jnp.concatenate([y1, y2], -1)
 
     def inverse(self, y):
         y1, y2 = y[..., :self._split1], y[..., self._split1:]
-        x2 = (y2 - self.t1(y1)) / _e(self.s1(y1))
-        x1 = (y1 - self.t2(x2)) / _e(self.s2(x2))
+        s1, t1 = self._st1(y1)
+        x2 = (y2 - t1) / _e(s1)
+        s2, t2 = self._st2(x2)
+        x1 = (y1 - t2) / _e(s2)
         return jnp.concatenate([x1, x2], -1)
 
     def __call__(self, x, rev: bool = False):
@@ -121,18 +160,22 @@ class InvertibleNet(nn.Module):
     block_num: Sequence[int] = (1, 1, 1)
     subnet: str = "res"
     return_middle: bool = True  # PAMI-style reverse returns (out, mid)
+    dtype: object = None        # compute dtype; None = float32
+    fused_st: bool = True       # shared (s,t) trunks (see RNVPCoupling)
 
     def setup(self):
         down, up = [], []
         ch = self.channels
         for i in range(self.down_num):
             ch *= 4
-            down.append([RNVPCoupling(ch, self.subnet)
+            down.append([RNVPCoupling(ch, self.subnet, dtype=self.dtype,
+                                      fused_st=self.fused_st)
                          for _ in range(self.block_num[i])])
         up_sched = list(self.block_num[:-1])[::-1] + [0]
         for i in range(self.down_num):
             ch //= 4
-            up.append([RNVPCoupling(ch, self.subnet)
+            up.append([RNVPCoupling(ch, self.subnet, dtype=self.dtype,
+                                    fused_st=self.fused_st)
                        for _ in range(up_sched[i])])
         self.down_blocks = down
         self.up_blocks = up
