@@ -20,7 +20,7 @@ TPU-native re-designs worth noting:
 
 from .jpeg import (
     Y_TABLE, C_TABLE, jpeg_basic, jpeg_mask, diffjpeg, jpeg_pool,
-    hidden_jpeg_mask_compression, zigzag_keep_mask,
+    diffjpeg_pool, hidden_jpeg_mask_compression, zigzag_keep_mask,
 )
 from .spatial import (
     resize_roundtrip, make_resize_roundtrip_pool, crop_attack, sample_crop_apex,

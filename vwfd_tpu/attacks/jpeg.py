@@ -179,6 +179,16 @@ def jpeg_pool(key, img, qualities=(50, 60, 70, 80, 90)):
     return rgb / 255.0
 
 
+def diffjpeg_pool(key, img, qualities=(60, 70, 80, 90)):
+    """Fused `Combined([DiffJPEG(90), DiffJPEG(80), DiffJPEG(60), DiffJPEG(70)])`
+    (models/IRNcrop_model.py:104): quality enters as a traced factor, so the
+    random draw costs no branches."""
+    qs = jnp.asarray(qualities, dtype=jnp.float32)
+    q = qs[jax.random.randint(key, (), 0, len(qualities))]
+    factor = jnp.where(q < 50, 5000.0 / q, 200.0 - q * 2.0) / 100.0
+    return diffjpeg(img, factor=factor)
+
+
 @functools.lru_cache(maxsize=None)
 def zigzag_keep_mask(window: int, keep: int, h: int, w: int):
     """Zig-zag keep-count mask tiled over (h, w)

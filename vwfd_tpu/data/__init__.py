@@ -11,3 +11,4 @@ from .davis import DavisVideoDataset
 from .images import ImageFolderDataset
 from .masks import free_form_stroke_mask, random_rect_mask
 from .loader import Loader
+from .jpeg_data import LQJpegDataset, DCTDomainDataset, blockwise_dct_np
