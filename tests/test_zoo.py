@@ -107,3 +107,39 @@ def test_sunet_swin_unet(rng):
     out = m.apply(v, x)
     assert out.shape == (1, 32, 32, 1)
     assert float(out.min()) >= 0 and float(out.max()) <= 1
+
+
+def test_mantranet(rng):
+    m = nets.MantraNet()
+    x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == (1, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_attacknet(rng):
+    m = nets.AttackNet(channels=3, down_num=2)
+    x = jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).shape == x.shape
+
+
+def test_gaussianize_roundtrip(rng):
+    # reference semantics: net(x1) outputs 4·n ch, split into (m, s) of 2·n
+    # each, so x2 must carry 2·n channels (invertible_net.py:99-116)
+    m = nets.Gaussianize(n_channels=2)
+    x1 = jnp.asarray(rng.random((1, 8, 8, 2), dtype=np.float32))
+    x2 = jnp.asarray(rng.random((1, 8, 8, 4), dtype=np.float32))
+    v = m.init(jax.random.PRNGKey(0), x1, x2)
+    z2 = m.apply(v, x1, x2)
+    x2_rec = m.apply(v, x1, z2, rev=True)
+    np.testing.assert_allclose(np.asarray(x2_rec), np.asarray(x2), atol=1e-5)
+
+
+def test_squeeze_roundtrip(rng):
+    x = jnp.asarray(rng.random((1, 8, 8, 3), dtype=np.float32))
+    s = nets.squeeze2x(x)
+    assert s.shape == (1, 4, 4, 12)
+    np.testing.assert_allclose(np.asarray(nets.squeeze2x(s, rev=True)),
+                               np.asarray(x), atol=1e-7)

@@ -2,7 +2,9 @@
 network/, hidden_models/, mbrs_models/, models/conditional_jpeg_generator.py."""
 
 from .blocks import SNConv, ResnetBlock, ConvBNRelu, scaled_glorot, scaled_kaiming
-from .inn import InvertibleNet, RNVPCoupling, DenseSubnet, ResSubnet
+from .inn import (
+    InvertibleNet, RNVPCoupling, DenseSubnet, ResSubnet, Gaussianize, squeeze2x,
+)
 from .unet import UNet
 from .localizer import UNetDiscriminator
 from .discriminator import Discriminator, DGDiscriminator
@@ -21,4 +23,5 @@ from .wavelet import BSR, BBlock
 from .zoo import (
     SelfAttention, NormalGenerator, EdgeGenerator, InpaintGenerator,
     DiscriminatorVGG128, CropLocalizeNet, InvBlockExp, InvRescaleNet,
+    MantraNet, AttackNet,
 )

@@ -207,3 +207,32 @@ class InvertibleNet(nn.Module):
 
     def __call__(self, x, rev: bool = False):
         return self.inverse(x) if rev else self.forward(x)
+
+
+def squeeze2x(x, rev: bool = False):
+    """RealNVP squeeze: (B,H,W,C) ↔ (B,H/2,W/2,4C) (invertible_net.py:47-88
+    Squeeze/Unsqueeze; channel-block layout via space-to-depth)."""
+    if not rev:
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c)
+
+
+class Gaussianize(nn.Module):
+    """RealNVP-style gaussianization head (invertible_net.py:91-119):
+    z2 = (x2 − m)/e(s), x2 = m + z2·e(s) with (m, s) = DenseSubnet(x1)."""
+    n_channels: int
+
+    def setup(self):
+        self.net = DenseSubnet(4 * self.n_channels)
+
+    def __call__(self, x1, x2, rev: bool = False):
+        h = self.net(x1)
+        m, s = h[..., 0::2], h[..., 1::2]
+        if not rev:
+            return (x2 - m) / _e(s)
+        return m + x2 * _e(s)

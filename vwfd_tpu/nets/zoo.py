@@ -236,3 +236,64 @@ class InvRescaleNet(nn.Module):
                 x = b(x, rev=True)
             x = haar_upsample(x)
         return x
+
+
+class MantraNet(nn.Module):
+    """Image-manipulation trace extractor → QF regressor
+    (models/conditional_jpeg_generator.py:539-694): init/Bayar/SRM 5×5 front
+    (4+3+9=16ch), 12-layer VALID-padded GELU conv trunk to 256ch, GAP + MLP
+    head to a scalar QF. Convs use symmetric padding per layer like the
+    reference's symm_pad-wrapped trunk."""
+    out_dims: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.filters import srm_conv, bayar_constrain
+        from ..ops.pad import symm_pad
+
+        xp = symm_pad(x, (2, 2, 2, 2))
+        conv_init = nn.Conv(4, (5, 5), padding="VALID", use_bias=False,
+                            name="init_conv")(xp)
+        bayar_kernel = self.param("bayar_kernel",
+                                  nn.initializers.kaiming_normal(),
+                                  (5, 5, x.shape[-1], 3))
+        bk = bayar_constrain(bayar_kernel)
+        conv_bayar = jax.lax.conv_general_dilated(
+            xp, bk, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        conv_srm = srm_conv(xp)
+        h = nn.gelu(jnp.concatenate([conv_init, conv_srm, conv_bayar], -1))
+        widths = (32, 64, 64, 128, 128, 128, 256, 256, 256, 256, 256, 256)
+        for i, wdt in enumerate(widths):
+            h = symm_pad(h, (1, 1, 1, 1))
+            h = nn.Conv(wdt, (3, 3), padding="VALID", name=f"trunk{i}")(h)
+            if i < len(widths) - 1:
+                h = nn.gelu(h)
+        h = jnp.mean(h, axis=(1, 2))
+        h = nn.gelu(nn.Dense(256, name="fc0")(h))
+        h = nn.gelu(nn.Dense(256, name="fc1")(h))
+        return nn.Dense(self.out_dims, name="fc2")(h)
+
+
+class AttackNet(nn.Module):
+    """Learned attack network (models/modules/Inv_arch.py:176-238) — Haar
+    encoder with dense blocks, mirrored decoder back to input resolution.
+    (The committed forward composes the 'inverse' list with forward-mode Haar,
+    which shrinks the output — a dead/debug path; this is the intended
+    encoder-decoder form, same parameter budget.)"""
+    channels: int = 3
+    down_num: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        ch = self.channels
+        for i in range(self.down_num):
+            x = haar_downsample(x)
+            ch *= 4
+            for j in range(4):
+                x = DenseSubnet(ch, name=f"down{i}_d{j}")(x)
+        for i in range(self.down_num):
+            for j in range(4):
+                x = DenseSubnet(ch, name=f"up{i}_d{j}")(x)
+            x = haar_upsample(x)
+            ch //= 4
+        return x

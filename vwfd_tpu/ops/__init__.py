@@ -10,6 +10,7 @@ and symmetric padding.
 """
 
 from .color import (
+    rgb_to_y_bt601,
     rgb_to_yuv_jpegbasic, yuv_to_rgb_jpegbasic,
     rgb_to_ycbcr_diffjpeg, ycbcr_to_rgb_diffjpeg,
     rgb_to_yuv_analog, yuv_to_rgb_analog,

@@ -92,3 +92,11 @@ def rgb_to_yuv_analog(x):
 def yuv_to_rgb_analog(x):
     """YUV→RGB, analog BT.601 inverse (jpeg_compression.py:60-63)."""
     return _apply(x, _M_YUV2RGB_ANALOG)
+
+
+def rgb_to_y_bt601(x01):
+    """Y channel of the BT.601 'video range' YCbCr used by the reference's
+    Y-channel PSNR/SSIM eval (data/util.py:180-205 `bgr2ycbcr`):
+    Y = 16 + (65.481 R + 128.553 G + 24.966 B), inputs in [0,1]."""
+    r, g, b = x01[..., 0], x01[..., 1], x01[..., 2]
+    return (16.0 + 65.481 * r + 128.553 * g + 24.966 * b) / 255.0
