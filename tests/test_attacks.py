@@ -139,3 +139,36 @@ def test_attack_pool_video_jit_and_grad():
     assert np.isfinite(float(val))
     assert np.isfinite(np.asarray(g)).all()
     assert g.shape == video.shape
+
+
+def test_stegastamp_extras():
+    from vwfd_tpu.attacks import (random_blur_kernel, apply_blur_kernel,
+                                  random_perspective, random_brightness_hue)
+    img = jnp.asarray(_test_image())
+    k = random_blur_kernel(jax.random.PRNGKey(0))
+    assert k.shape == (7, 7)
+    assert abs(float(k.sum()) - 1.0) < 1e-5
+    blurred = apply_blur_kernel(img, k)
+    assert blurred.shape == img.shape
+
+    warped = random_perspective(jax.random.PRNGKey(1), img, d=4.0)
+    assert warped.shape == img.shape
+    assert not np.allclose(np.asarray(warped), np.asarray(img))
+    # zero jitter → identity warp
+    ident = random_perspective(jax.random.PRNGKey(1), img, d=0.0)
+    np.testing.assert_allclose(np.asarray(ident), np.asarray(img), atol=1e-3)
+
+    bh = random_brightness_hue(jax.random.PRNGKey(2), img)
+    assert bh.shape == img.shape
+
+
+def test_gradient_penalty():
+    from vwfd_tpu.metrics import gradient_penalty
+    real = jnp.asarray(_test_image())
+    fake = jnp.asarray(np.clip(_test_image() + 0.1, 0, 1))
+
+    def disc(x):
+        return jnp.mean(x ** 2, axis=(1, 2, 3))
+
+    gp = gradient_penalty(disc, jax.random.PRNGKey(0), real, fake)
+    assert np.isfinite(float(gp))

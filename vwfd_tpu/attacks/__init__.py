@@ -29,3 +29,7 @@ from .spatial import (
 from .noise import gaussian_noise, salt_pepper, identity, dropout_pixelwise
 from .blur import gaussian_blur_attack, median_blur_attack
 from .combined import combined_switch, attack_pool_video, ATTACK_POOL_SIZE
+from .stegastamp import (
+    random_blur_kernel, apply_blur_kernel, random_perspective,
+    random_brightness_hue,
+)

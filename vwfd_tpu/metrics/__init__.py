@@ -10,6 +10,7 @@ from .losses import (
     bce_loss, bce_with_logits, smooth_l1, l1_loss, l2_loss,
     reconstruction_loss, ssim_loss_map, gan_loss, adversarial_loss,
     exclusion_loss, gradient_loss, grayscale_loss, extended_l1_loss,
+    gradient_penalty,
     non_blurry_loss, std_loss, dice_loss, cw_loss,
 )
 from .perceptual import VGG19Features, perceptual_loss, style_loss

@@ -110,6 +110,20 @@ def adversarial_loss(outputs, is_real, is_disc=None, loss_type="nsgan", mask=Non
     raise ValueError(loss_type)
 
 
+def gradient_penalty(disc_fn, key, real, fake):
+    """WGAN-GP gradient penalty (models/modules/loss.py:112-131
+    `GradientPenaltyLoss`): E[(‖∇_x D(x̂)‖₂ − 1)²] on random interpolates."""
+    eps = jax.random.uniform(key, (real.shape[0],) + (1,) * (real.ndim - 1))
+    interp = eps * real + (1 - eps) * fake
+
+    def per_sample(x):
+        return jnp.sum(disc_fn(x[None]))
+
+    grads = jax.vmap(jax.grad(per_sample))(interp)
+    norms = jnp.sqrt(jnp.sum(grads.reshape(grads.shape[0], -1) ** 2, -1) + 1e-12)
+    return jnp.mean((norms - 1.0) ** 2)
+
+
 def _avg_pool_2x2(x):
     *lead, h, w, c = x.shape
     return x.reshape(*lead, h // 2, 2, w // 2, 2, c).mean(axis=(-4, -2))
