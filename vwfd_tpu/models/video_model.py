@@ -203,9 +203,14 @@ class VideoWatermarkModel:
     # ------------------------------------------------------------------ loop
 
     def fit(self, loader, steps: int, key=None, states=None, log_every=None,
-            progbar=None, ckpt_dir=None):
+            progbar=None, ckpt_dir=None, scalar_logger=None, montage_dir=None):
         """Epoch/iter loop (train.py:91-109) with the previous-images ring
-        buffer carried host-side (device arrays, no transfers)."""
+        buffer carried host-side (device arrays, no transfers).
+
+        Mirrors the reference's telemetry: scalars per step (SummaryWriter,
+        IRNcrop_model.py:399-400 — here `ScalarLogger`) and periodic
+        qualitative montages (stitch_images every `montage_interval`,
+        IRNcrop_model.py:421-437)."""
         from .state import save_checkpoint
         tc = self.cfg.train
         key = key if key is not None else jax.random.PRNGKey(tc.seed)
@@ -226,11 +231,39 @@ class VideoWatermarkModel:
                     continue
                 key, k = jax.random.split(key)
                 states, logs = self.train_step(states, batch, prev, k)
-                prev = batch.video
                 step += 1
                 logs_out = {k2: float(v) for k2, v in logs.items()}
                 if progbar is not None:
                     progbar.add(1, values=list(logs_out.items()))
+                if scalar_logger is not None:
+                    scalar_logger.log(step, **logs_out)
+                if montage_dir and step % tc.montage_interval == 0:
+                    self._dump_montage(states, batch, prev, key, montage_dir,
+                                       step)
+                prev = batch.video
                 if ckpt_dir and step % tc.save_interval == 0:
                     save_checkpoint(ckpt_dir, step, states)
         return states, logs_out
+
+    def _dump_montage(self, states, batch, prev, key, out_dir, step):
+        """Qualitative dump: input / embedded / 10×|diff| / attacked /
+        predicted mask / GT mask for frame 0 (IRNcrop_model.py:421-437)."""
+        import os
+        from ..attacks import attack_pool_video
+        from ..utils.images import stitch_images
+
+        fwd = self.embed(states, batch.video)
+        tampered = fwd * (1 - batch.mask) + prev * batch.mask
+        attacked = jnp.clip(attack_pool_video(key, tampered,
+                                              ratios=self.attack_ratios), 0, 1)
+        pred = self.predict_mask(states, attacked, train=False)
+        img = stitch_images(
+            np.asarray(batch.video[:, 0]),
+            np.asarray(fwd[:, 0]),
+            np.asarray(jnp.clip(10 * jnp.abs(batch.video[:, 0] - fwd[:, 0]), 0, 1)),
+            np.asarray(attacked[:, 0]),
+            np.asarray(pred[:, 0]),
+            np.asarray(batch.mask[:, 0]),
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        img.save(os.path.join(out_dir, f"{step:05d}.png"))
