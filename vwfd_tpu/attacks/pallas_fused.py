@@ -3,10 +3,13 @@ star: the flagship 5-way attack pool (resize round-trip, 2× JPEG-pool draws,
 median blur, gaussian blur, softmax-α mixture — models/IRNcrop_model.py:
 350-373) as ONE kernel per frame.
 
-Why a kernel: the XLA version materializes every intermediate (5 attacked
-copies + YUV/DCT planes) in HBM; at 256² the pool is bandwidth-bound. Here a
-frame's 3 planes (0.75 MB at 256²) live in VMEM for the whole pool — HBM
-traffic is one frame in, one frame out, plus one gathered resize operator.
+STATUS: numerically correct (validated vs interpret mode and finite on
+hardware) but currently ~5× slower than the tuned XLA pool (50 ms vs 9 ms per
+64×256² frames on v5e): the per-frame grid serializes MXU work and the ±1-lane
+shift ops in the blur/median branches are expensive in Mosaic. Kept as the
+starting point for a tiled multi-frame version; production paths use
+`attack_pool_video` (attacks/combined.py), which after the Paeth-median and
+block-diagonal-DCT fixes is compute-dense enough that XLA's fusion wins.
 
 Design notes (TPU):
   * Channel-separated planes (N, 3, H, W): the (H, W) plane maps onto
@@ -143,8 +146,8 @@ def _kernel(scalars_ref, ridx_ref,            # scalar prefetch
             sw(i, j)
         return v[4]
 
-    rop = rop_vmem[:, :]
     dma.wait()
+    rop = rop_vmem[:, :]  # read only after the operator DMA has landed
 
     def resize_rt(p):
         pp = p / 255.0
@@ -159,7 +162,8 @@ def _kernel(scalars_ref, ridx_ref,            # scalar prefetch
 
 
 def fused_attack_pool(key, video, ratios=DEFAULT_RATIOS,
-                      qualities=(50, 60, 70, 80, 90), interpret: bool = False):
+                      qualities=(50, 60, 70, 80, 90), interpret: bool = False,
+                      _debug_branch: int = None):
     """Drop-in fused replacement for `attack_pool_video`.
 
     video: (B, T, H, W, C) in [0,1]. Returns the same-shaped α-mixture of the
@@ -178,6 +182,8 @@ def fused_attack_pool(key, video, ratios=DEFAULT_RATIOS,
     mode1 = jax.random.randint(k3, (n,), 0, 3).astype(jnp.float32)
     mode2 = jax.random.randint(k4, (n,), 0, 3).astype(jnp.float32)
     alphas = jax.nn.softmax(jax.random.normal(k5, (n, 5)), axis=-1)
+    if _debug_branch is not None:  # isolate one branch for numerics debugging
+        alphas = jnp.tile(jax.nn.one_hot(_debug_branch, 5)[None], (n, 1))
     ridx = jax.random.randint(k6, (n,), 0, len(ratios)).astype(jnp.int32)
 
     scalars = jnp.concatenate(
