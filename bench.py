@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--breakdown", action="store_true",
                     help="also time embed/attack/extract separately (stderr)")
+    ap.add_argument("--dtype", type=str, default="bfloat16",
+                    help="compute dtype: bfloat16 | float32")
     args = ap.parse_args()
 
     import jax
@@ -49,8 +51,9 @@ def main():
         mc = ModelConfig()
         ratios = None
 
+    from vwfd_tpu.config import TrainConfig
     cfg = Config(data=DataConfig(gt_size=size, frames=frames, batch_size=batch),
-                 model=mc)
+                 model=mc, train=TrainConfig(dtype=args.dtype))
     model = VideoWatermarkModel(cfg, attack_ratios=ratios)
     states = model.init_states(jax.random.PRNGKey(0))
 
