@@ -66,3 +66,19 @@ def test_canny_soft(rng):
     # differentiable
     g = jax.grad(lambda x: jnp.sum(canny_soft(x)))(jnp.asarray(img))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_image_model_with_gan(rng):
+    model = ImageImmunizationModel(TINY, task="pami", n_attacks=2,
+                                   attack_ratios=(0.5, 1.0), with_gan=True)
+    states = model.init_states(jax.random.PRNGKey(0))
+    assert "discriminator" in states
+    batch = _batch(rng)
+    new_states, logs = model.train_step(states, batch, batch.image,
+                                        jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs["g_adv"]))
+    assert np.isfinite(float(logs["d_loss"]))
+    before = jax.tree_util.tree_leaves(states["discriminator"].params)
+    after = jax.tree_util.tree_leaves(new_states["discriminator"].params)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(before, after))

@@ -47,6 +47,11 @@ class TrainConfig:
     niter: int = 500_000
     seed: int = 10                      # manual_seed (train.py:317-331)
     psnr_gate: float = 33.0             # IRNcrop_model.py:384-388
+    # forward-fidelity criterion: "bce" = reference parity (BCEWithLogits on
+    # images, IRNcrop_model.py:378-388 — note its minimum is the LOGIT of the
+    # target, which degrades PSNR when training from scratch); "l1"/"l2" are
+    # the sane alternatives for real runs.
+    forward_criterion: str = "bce"
     loss_weight_low: float = 1.0
     loss_weight_high: float = 0.8
     save_interval: int = 5000           # IRNcrop_model.py:334

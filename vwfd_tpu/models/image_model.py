@@ -51,11 +51,14 @@ class ImageImmunizationModel:
 
     def __init__(self, cfg: Config, task: str = "pami", n_attacks: int = 6,
                  with_apex: Optional[bool] = None, mesh=None,
-                 attack_ratios=None):
+                 attack_ratios=None, with_gan: bool = False,
+                 adversarial_weight: float = 0.01):
         self.cfg = cfg
         self.task = task
         self.n_attacks = n_attacks
         self.with_apex = task == "clr" if with_apex is None else with_apex
+        self.with_gan = with_gan
+        self.adversarial_weight = adversarial_weight
         self.mesh = mesh
         self.attack_ratios = attack_ratios
         mc, tc = cfg.model, cfg.train
@@ -73,6 +76,11 @@ class ImageImmunizationModel:
             self.apex_net = QFPredictor(nc=(16, 24, 32, 48), nb=1, classes=4,
                                         crop_pred=True,
                                         out_size=cfg.data.gt_size)
+        if self.with_gan:
+            # patch-D on immunized images (IRNp_model.py:165,171 nsgan pair)
+            from ..nets import Discriminator
+            self.discriminator = Discriminator(dim=mc.discriminator_dim,
+                                               use_sigmoid=True)
         self.tx = adamw_chain(tc.lr, tc.beta1, tc.beta2, tc.weight_decay,
                               tc.gradient_clipping)
 
@@ -92,6 +100,10 @@ class ImageImmunizationModel:
         if self.with_apex:
             states["apex"] = mk(self.apex_net.apply,
                                 self.apex_net.init(ks[2], x3))
+        if self.with_gan:
+            kd = jax.random.fold_in(key, 99)
+            states["discriminator"] = mk(self.discriminator.apply,
+                                         self.discriminator.init(kd, x3))
         if self.mesh is not None:
             from ..parallel import replicate
             states = replicate(states, self.mesh)
@@ -195,6 +207,32 @@ class ImageImmunizationModel:
         loss = loss + l_mask
         if self.with_apex:
             loss = loss + aux_apex["l_apex"]
+        if self.with_gan:
+            # generator adversarial term (nsgan, IRNp_model.py G step)
+            from ..metrics import adversarial_loss
+            # G term: grads flow to netG through fwd_rgb only — D params
+            # stop-gradded (the reference runs this as a separate optimizer
+            # step, IRNp_model.py; one fused program here)
+            d_frozen = jax.lax.stop_gradient(params["discriminator"])
+            d_on_fwd, disc_vars = self.discriminator.apply(
+                {"params": d_frozen, **states["discriminator"].variables},
+                fwd_rgb, update_sn=True, mutable=["spectral"])
+            g_adv = adversarial_loss(d_on_fwd, True, False, loss_type="nsgan")
+            loss = loss + self.adversarial_weight * g_adv
+            # D term: real/fake BCE with the fake detached
+            d_real, disc_vars = self.discriminator.apply(
+                {"params": params["discriminator"], **disc_vars}, img,
+                update_sn=True, mutable=["spectral"])
+            d_fake, disc_vars = self.discriminator.apply(
+                {"params": params["discriminator"], **disc_vars},
+                jax.lax.stop_gradient(fwd_rgb),
+                update_sn=True, mutable=["spectral"])
+            d_loss = 0.5 * (
+                adversarial_loss(d_real, True, True, loss_type="nsgan") +
+                adversarial_loss(d_fake, False, True, loss_type="nsgan"))
+            loss = loss + d_loss
+            aux_apex = {**aux_apex, "g_adv": g_adv, "d_loss": d_loss,
+                        "disc_vars": disc_vars}
 
         aux = {"lF": l_forward, "lB": l_backward, "l_mask": l_mask,
                "PF": psnr_f, "PB": psnr_b, "NULL": l_null,
@@ -220,8 +258,11 @@ class ImageImmunizationModel:
         if self.with_apex:
             new_states["apex"] = states["apex"].apply_gradients(
                 grads["apex"]).replace(variables=aux["apex_vars"])
+        if self.with_gan:
+            new_states["discriminator"] = states["discriminator"].apply_gradients(
+                grads["discriminator"]).replace(variables=aux["disc_vars"])
         logs = {k: v for k, v in aux.items()
-                if k not in ("loc_vars", "apex_vars")}
+                if k not in ("loc_vars", "apex_vars", "disc_vars")}
         logs["loss"] = loss
         return new_states, logs
 

@@ -155,7 +155,15 @@ class VideoWatermarkModel:
         # NB: parity quirk — the reference feeds *images* through
         # BCEWithLogitsLoss for forward fidelity (IRNcrop_model.py:378-388)
         # and the sigmoid-activated UNet output for the mask loss (:391-393).
-        l_forward = w_fwd * bce_with_logits(fwd_video, video)
+        # BCE's minimum is the logit of the target (saturates pixels), so
+        # config can swap in l1/l2 for from-scratch training.
+        if tc.forward_criterion == "l1":
+            l_fid = jnp.mean(jnp.abs(fwd_video - video))
+        elif tc.forward_criterion == "l2":
+            l_fid = jnp.mean((fwd_video - video) ** 2)
+        else:
+            l_fid = bce_with_logits(fwd_video, video)
+        l_forward = w_fwd * l_fid
         l_backward = bce_with_logits(pred_mask, mask)
         loss = l_forward + l_backward
         aux = {

@@ -34,6 +34,8 @@ class DenseSubnet(nn.Module):
     def __call__(self, x):
         init = scaled_glorot(0.1)
         dt = self.dtype
+        if dt is not None:
+            x = x.astype(dt)  # else concat(x_f32, h_bf16) re-promotes to f32
         x1 = nn.elu(nn.Conv(self.gc, (3, 3), padding=1, kernel_init=init,
                             dtype=dt)(x))
         x2 = nn.elu(nn.Conv(self.gc, (3, 3), padding=1, kernel_init=init,
@@ -59,6 +61,8 @@ class ResSubnet(nn.Module):
     def __call__(self, x):
         init = scaled_glorot(0.1)
         dt = self.dtype
+        if dt is not None:
+            x = x.astype(dt)  # else concat(x_f32, h_bf16) re-promotes to f32
         h = nn.elu(nn.Conv(self.feature, (3, 3), padding=1, kernel_init=init,
                            dtype=dt)(x))
         h = nn.elu(nn.Conv(self.feature, (3, 3), padding=1, kernel_init=init,
