@@ -44,10 +44,9 @@ class DenseSubnet(nn.Module):
                             dtype=dt)(jnp.concatenate([x, x1, x2], -1)))
         x4 = nn.elu(nn.Conv(self.gc, (3, 3), padding=1, kernel_init=init,
                             dtype=dt)(jnp.concatenate([x, x1, x2, x3], -1)))
-        out = nn.Conv(self.out_channels, (3, 3), padding=1,
-                      kernel_init=nn.initializers.zeros, dtype=dt)(
+        return nn.Conv(self.out_channels, (3, 3), padding=1,
+                       kernel_init=nn.initializers.zeros, dtype=dt)(
             jnp.concatenate([x, x1, x2, x3, x4], -1))
-        return out.astype(jnp.float32)
 
 
 class ResSubnet(nn.Module):
@@ -71,10 +70,9 @@ class ResSubnet(nn.Module):
                            dtype=dt)(h))
         h = nn.elu(nn.Conv(self.feature, (3, 3), padding=1, kernel_init=init,
                            dtype=dt)(h))
-        out = nn.Conv(self.out_channels, (3, 3), padding=1,
-                      kernel_init=nn.initializers.zeros, dtype=dt)(
+        return nn.Conv(self.out_channels, (3, 3), padding=1,
+                       kernel_init=nn.initializers.zeros, dtype=dt)(
             jnp.concatenate([x, h], -1))
-        return out.astype(jnp.float32)
 
 
 _SUBNETS = {"res": ResSubnet, "dense": DenseSubnet}
@@ -185,6 +183,8 @@ class InvertibleNet(nn.Module):
         self.up_blocks = up
 
     def forward(self, x):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)  # whole chain in compute dtype (AMP-style)
         for blocks in self.down_blocks:
             x = haar_downsample(x)
             for b in blocks:
@@ -193,18 +193,21 @@ class InvertibleNet(nn.Module):
             x = haar_upsample(x)
             for b in blocks:
                 x = b.forward(x)
-        return x
+        return x.astype(jnp.float32)
 
     def inverse(self, y) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if self.dtype is not None:
+            y = y.astype(self.dtype)
         for blocks in reversed(self.up_blocks):
             for b in reversed(blocks):
                 y = b.inverse(y)
             y = haar_downsample(y)
-        middle = y
+        middle = y.astype(jnp.float32)
         for blocks in reversed(self.down_blocks):
             for b in reversed(blocks):
                 y = b.inverse(y)
             y = haar_upsample(y)
+        y = y.astype(jnp.float32)
         if self.return_middle:
             return y, middle
         return y
