@@ -60,3 +60,42 @@ def test_adversarial_fgsm_family(rng):
     adv3 = jpeg_resistant_fgsm(loss, img, epsilon=0.05, step_size=0.02,
                                steps=2, quality=75)
     assert np.isfinite(np.asarray(adv3)).all()
+
+
+def test_schedules():
+    from vwfd_tpu.models.schedules import (multistep_restart, cosine_restart,
+                                           with_warmup)
+    s = multistep_restart(1e-3, milestones=[10, 20], gamma=0.5)
+    assert abs(float(s(0)) - 1e-3) < 1e-9
+    assert abs(float(s(15)) - 5e-4) < 1e-8
+    assert abs(float(s(25)) - 2.5e-4) < 1e-8
+    s2 = multistep_restart(1e-3, milestones=[10], gamma=0.5,
+                           restarts=[30], restart_weights=[0.5])
+    assert abs(float(s2(30)) - 5e-4) < 1e-8   # restart: weight 0.5, decay reset
+    c = cosine_restart(1e-3, periods=[100, 100])
+    assert abs(float(c(0)) - 1e-3) < 1e-8
+    assert float(c(50)) < 1e-3
+    w = with_warmup(1e-3, warmup_steps=10)
+    assert abs(float(w(5)) - 5e-4) < 1e-8
+    assert abs(float(w(20)) - 1e-3) < 1e-8
+
+
+def test_image_model_imuge_mode(rng):
+    import jax.numpy as jnp
+    from vwfd_tpu.config import Config, DataConfig, ModelConfig
+    from vwfd_tpu.models.image_model import ImageImmunizationModel, ImageBatch
+    cfg = Config(data=DataConfig(gt_size=32, batch_size=2),
+                 model=ModelConfig(inn_down_num=2, inn_block_num=(1, 1),
+                                   localizer_dim=16,
+                                   localizer_residual_blocks=1))
+    model = ImageImmunizationModel(cfg, task="imuge", n_attacks=2,
+                                   attack_ratios=(0.5, 1.0))
+    assert model.watermark_source == "gray_prev"
+    states = model.init_states(jax.random.PRNGKey(0))
+    img = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    canny = jnp.zeros((2, 32, 32, 1))  # ignored in imuge mode
+    mask = jnp.zeros((2, 32, 32, 1)).at[:, 8:16, 8:16].set(1.0)
+    batch = ImageBatch(img, canny, mask)
+    prev = jnp.clip(img + 0.1, 0, 1)
+    _, logs = model.train_step(states, batch, prev, jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs["loss"]))

@@ -46,8 +46,14 @@ class ImageBatch(NamedTuple):
     mask: jnp.ndarray    # (B, H, W, 1) stroke/splice tamper mask
 
 
+_GRAY = None
+
+
 class ImageImmunizationModel:
-    """task: 'pami' (Imuge+/splice) or 'clr' (CLRNet crop localization)."""
+    """task: 'pami' (Imuge+/splice), 'clr' (CLRNet crop localization), or
+    'imuge' (ImugeV2, IRN_model.py: the 4th channel carries a hidden
+    *grayscale image* — the previous batch in gray, as IRNcrop_model.
+    evaluate:465-471 builds its watermark — rather than the canny map)."""
 
     def __init__(self, cfg: Config, task: str = "pami", n_attacks: int = 6,
                  with_apex: Optional[bool] = None, mesh=None,
@@ -56,6 +62,7 @@ class ImageImmunizationModel:
         self.cfg = cfg
         self.task = task
         self.n_attacks = n_attacks
+        self.watermark_source = "gray_prev" if task == "imuge" else "canny"
         self.with_apex = task == "clr" if with_apex is None else with_apex
         self.with_gan = with_gan
         self.adversarial_weight = adversarial_weight
@@ -143,6 +150,11 @@ class ImageImmunizationModel:
     def _loss(self, params, states, batch: ImageBatch, prev_images, key):
         tc = self.cfg.train
         img, canny, mask = batch
+        if self.watermark_source == "gray_prev":
+            # ImugeV2: embed the grayscale of the previous batch
+            # (IRNcrop_model.py:465-471 watermark construction)
+            gray = jnp.asarray([0.299, 0.587, 0.114])
+            canny = (prev_images @ gray)[..., None]
         b, h, w, _ = img.shape
         k_atk, k_crop = jax.random.split(key)
 
