@@ -212,3 +212,25 @@ def hidden_jpeg_mask_compression(img, yuv_keep=(25, 9, 9)):
     mask = jnp.stack([zigzag_keep_mask(8, k, h, w) for k in yuv_keep], axis=0)
     out = dct_ops.idct8x8(coeff * mask)
     return color.yuv_to_rgb_analog(jnp.moveaxis(out, -3, -1))
+
+
+def jpeg_real(img01, quality: int, subsampling: int = 0):
+    """Real libjpeg round trip via PIL — the non-differentiable oracle the
+    reference calls `JpegTest` (noise_layers/jpeg.py:10-45). HOST-side only
+    (numpy in/out); use in eval paths, never inside jit."""
+    import io
+    import numpy as np
+    from PIL import Image
+
+    x = np.asarray(img01)
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    out = np.empty_like(x)
+    for i in range(x.shape[0]):
+        u8 = (np.clip(x[i], 0, 1) * 255).round().astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(u8).save(buf, format="JPEG", quality=int(quality),
+                                 subsampling=subsampling)
+        out[i] = np.asarray(Image.open(buf), np.float32) / 255.0
+    return out[0] if squeeze else out

@@ -25,3 +25,4 @@ from .zoo import (
     DiscriminatorVGG128, CropLocalizeNet, InvBlockExp, InvRescaleNet,
     MantraNet, AttackNet,
 )
+from .registry import define_net, available_nets  # noqa: E402 (after all nets: avoids cycle)

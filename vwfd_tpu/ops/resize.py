@@ -33,12 +33,21 @@ def _linear_kernel(t: np.ndarray) -> np.ndarray:
     return np.maximum(0.0, 1.0 - t)
 
 
+def _lanczos_kernel(t: np.ndarray, a: int = 3) -> np.ndarray:
+    """Lanczos-3 (utils/imresize.py lanczos path)."""
+    t = np.abs(t)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        k = np.sinc(t) * np.sinc(t / a)
+    return np.where(t < a, k, 0.0)
+
+
 @functools.lru_cache(maxsize=None)
 def resize_matrix(in_size: int, out_size: int, method: str = "bilinear",
                   antialias: bool = False):
     """Dense (out_size, in_size) resampling matrix, half-pixel centers."""
-    kernel = {"bilinear": _linear_kernel, "bicubic": _cubic_kernel}[method]
-    support = {"bilinear": 1.0, "bicubic": 2.0}[method]
+    kernel = {"bilinear": _linear_kernel, "bicubic": _cubic_kernel,
+              "lanczos": _lanczos_kernel}[method]
+    support = {"bilinear": 1.0, "bicubic": 2.0, "lanczos": 3.0}[method]
     scale = in_size / out_size
     # Antialias widens the kernel when downscaling (like PIL / torch antialias=True).
     width = max(scale, 1.0) if antialias else 1.0
