@@ -6,18 +6,20 @@ batch is assembled on host and `jax.device_put` with a batch-dim
 NamedSharding splits it across devices — the single-program equivalent of the
 reference's per-rank `batch_size // world_size` split (data/__init__.py:16-17).
 
-A one-deep prefetch thread overlaps host decode with device compute.
+A prefetch thread overlaps host decode with device compute; item fetches fan
+out over a thread pool (cv2/PIL release the GIL while decoding).
 """
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 
 class Loader:
     def __init__(self, dataset, batch_size, shuffle=True, seed=0,
-                 prefetch=2, sharding=None, ratio=1):
+                 prefetch=2, sharding=None, ratio=1, num_workers=4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -26,9 +28,13 @@ class Loader:
         self.sharding = sharding
         # epoch-enlargement factor (DistIterSampler ratio, train.py:57 uses 200)
         self.ratio = ratio
+        self.num_workers = num_workers
 
-    def _make_batch(self, idxs):
-        items = [self.dataset[i] for i in idxs]
+    def _make_batch(self, idxs, pool=None):
+        if pool is not None:
+            items = list(pool.map(self.dataset.__getitem__, idxs))
+        else:
+            items = [self.dataset[i] for i in idxs]
         if isinstance(items[0], dict):
             batch = {k: np.stack([it[k] for it in items]) for k in items[0]}
         elif isinstance(items[0], tuple):
@@ -50,9 +56,10 @@ class Loader:
         n_batches = n // self.batch_size
 
         def worker():
-            for b in range(n_batches):
-                idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                q.put(self._make_batch(idxs))
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for b in range(n_batches):
+                    idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+                    q.put(self._make_batch(idxs, pool))
             q.put(None)
 
         t = threading.Thread(target=worker, daemon=True)

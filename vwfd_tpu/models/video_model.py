@@ -238,9 +238,17 @@ class VideoWatermarkModel:
                     prev = batch.video  # first batch only seeds the buffer
                     continue
                 key, k = jax.random.split(key)
-                states, logs = self.train_step(states, batch, prev, k)
+                new_states, logs = self.train_step(states, batch, prev, k)
                 step += 1
                 logs_out = {k2: float(v) for k2, v in logs.items()}
+                if not np.isfinite(logs_out["loss"]):
+                    # failure guard (reference has none, SURVEY.md §5): keep
+                    # the pre-step params and skip this batch
+                    import logging
+                    logging.getLogger("base").warning(
+                        "non-finite loss at step %d — update skipped", step)
+                else:
+                    states = new_states
                 if progbar is not None:
                     progbar.add(1, values=list(logs_out.items()))
                 if scalar_logger is not None:
