@@ -233,7 +233,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=str, default=None, help="YAML config path")
     ap.add_argument("--task", type=str, default=None,
-                    help="video | pami | clr | hidden | mbrs | kdjpeg | tianchi")
+                    help="video | pami | clr | imuge | hidden | mbrs | "
+                         "kdjpeg | tianchi")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--val", action="store_true", help="run evaluation")
     ap.add_argument("--synthetic", action="store_true")
@@ -261,7 +262,7 @@ def main():
     key = jax.random.PRNGKey(cfg.train.seed)
     if cfg.task == "video":
         _video_loop(cfg, mesh, args, key)
-    elif cfg.task in ("pami", "clr", "image"):
+    elif cfg.task in ("pami", "clr", "imuge", "image"):
         _image_loop(cfg, mesh, args, key,
                     "pami" if cfg.task == "image" else cfg.task)
     elif cfg.task in ("hidden", "mbrs"):
