@@ -285,6 +285,9 @@ class ImageImmunizationModel:
         """Immunize → tamper → attack → localize → reverse; quality + F1
         (the folder protocol of IRNclr_model.evaluate:765-905 without IO)."""
         img, canny, mask = batch
+        if self.watermark_source == "gray_prev":
+            gray = jnp.asarray([0.299, 0.587, 0.114])
+            canny = (prev_images @ gray)[..., None]
         fwd_rgb, fwd_null = self._embed_p(
             {k: s.params for k, s in states.items()}, states, img, canny)
         tampered = fwd_rgb * (1.0 - mask) + prev_images * mask
