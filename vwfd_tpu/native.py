@@ -14,7 +14,10 @@ _LIB = None
 _TRIED = False
 
 _SRC = os.path.join(os.path.dirname(__file__), "..", "csrc", "blockdct.cpp")
-_SO = os.path.join(os.path.dirname(__file__), "_native.so")
+# built artifact lives OUTSIDE the package: a raw ctypes .so inside a
+# package directory would be picked up as a broken extension module
+_SO = os.path.join(os.path.dirname(__file__), "..", "build",
+                   "vwfd_native.so")
 
 
 def _load():
@@ -23,6 +26,7 @@ def _load():
         return _LIB
     _TRIED = True
     try:
+        os.makedirs(os.path.dirname(_SO), exist_ok=True)
         if not os.path.exists(_SO) or (
                 os.path.exists(_SRC)
                 and os.path.getmtime(_SRC) > os.path.getmtime(_SO)):
