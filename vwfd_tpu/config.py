@@ -30,6 +30,7 @@ class ModelConfig:
     inn_down_num: int = 3
     inn_block_num: Tuple[int, ...] = (1, 1, 1)
     inn_subnet: str = "res"
+    inn_width: int = 0            # coupling trunk width (0 = reference's 64)
     unet_features: int = 32
     localizer_dim: int = 16
     localizer_residual_blocks: int = 2

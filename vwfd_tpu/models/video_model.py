@@ -70,7 +70,7 @@ class VideoWatermarkModel:
         self.inn = InvertibleNet(
             channels=3 * self.frames, down_num=mc.inn_down_num,
             block_num=mc.inn_block_num, subnet=mc.inn_subnet,
-            dtype=self.compute_dtype)
+            width=mc.inn_width, dtype=self.compute_dtype)
         self.unet = UNet(out_channels=1, init_features=mc.unet_features,
                          dtype=self.compute_dtype)
         self.tx = adamw_chain(tc.lr, tc.beta1, tc.beta2, tc.weight_decay,

@@ -91,24 +91,32 @@ class RNVPCoupling(nn.Module):
     trunk with a double-width zero-init head instead of the reference's two
     separate subnets — identical expressivity and invertibility, half the
     conv FLOPs, and wider (more MXU-efficient) final matmuls. Set False for
-    the reference's exact parameterization."""
+    the reference's exact parameterization.
+
+    `width` overrides the subnet hidden width (reference ResBlock uses 64,
+    invertible_net.py:329; 128 fills the MXU lane dim — a perf/parity knob)."""
     channels: int
     subnet: str = "res"
     dtype: object = None
     fused_st: bool = True
+    width: int = 0  # 0 = subnet default
 
     def setup(self):
         split1 = self.channels // 2
         split2 = self.channels - split1
         sub = _SUBNETS[self.subnet]
+        kw = {}
+        if self.width:
+            kw = ({"feature": self.width} if self.subnet == "res"
+                  else {"gc": self.width})
         if self.fused_st:
-            self.st1 = sub(2 * split2, dtype=self.dtype)
-            self.st2 = sub(2 * split1, dtype=self.dtype)
+            self.st1 = sub(2 * split2, dtype=self.dtype, **kw)
+            self.st2 = sub(2 * split1, dtype=self.dtype, **kw)
         else:
-            self.s1 = sub(split2, dtype=self.dtype)
-            self.t1 = sub(split2, dtype=self.dtype)
-            self.s2 = sub(split1, dtype=self.dtype)
-            self.t2 = sub(split1, dtype=self.dtype)
+            self.s1 = sub(split2, dtype=self.dtype, **kw)
+            self.t1 = sub(split2, dtype=self.dtype, **kw)
+            self.s2 = sub(split1, dtype=self.dtype, **kw)
+            self.t2 = sub(split1, dtype=self.dtype, **kw)
         self._split1 = split1
 
     def _st1(self, z):
@@ -164,6 +172,7 @@ class InvertibleNet(nn.Module):
     return_middle: bool = True  # PAMI-style reverse returns (out, mid)
     dtype: object = None        # compute dtype; None = float32
     fused_st: bool = True       # shared (s,t) trunks (see RNVPCoupling)
+    width: int = 0              # subnet hidden width override (0 = default 64)
 
     def setup(self):
         down, up = [], []
@@ -171,13 +180,13 @@ class InvertibleNet(nn.Module):
         for i in range(self.down_num):
             ch *= 4
             down.append([RNVPCoupling(ch, self.subnet, dtype=self.dtype,
-                                      fused_st=self.fused_st)
+                                      fused_st=self.fused_st, width=self.width)
                          for _ in range(self.block_num[i])])
         up_sched = list(self.block_num[:-1])[::-1] + [0]
         for i in range(self.down_num):
             ch //= 4
             up.append([RNVPCoupling(ch, self.subnet, dtype=self.dtype,
-                                    fused_st=self.fused_st)
+                                    fused_st=self.fused_st, width=self.width)
                        for _ in range(up_sched[i])])
         self.down_blocks = down
         self.up_blocks = up
