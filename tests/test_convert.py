@@ -1,0 +1,152 @@
+"""Checkpoint-converter tests: layout correctness (torch↔flax conv semantics)
+and structural round-trip into our nets."""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+import convert_reference_checkpoint as conv  # noqa: E402
+
+from vwfd_tpu.nets import InvertibleNet, UNet  # noqa: E402
+
+
+def test_conv_weight_layout(rng):
+    """Converted kernels must make flax convs reproduce torch convs."""
+    w = rng.standard_normal((8, 3, 3, 3)).astype(np.float32)  # OIHW
+    b = rng.standard_normal(8).astype(np.float32)
+    x = rng.standard_normal((1, 3, 16, 16)).astype(np.float32)
+    want = F.conv2d(torch.from_numpy(x), torch.from_numpy(w),
+                    torch.from_numpy(b), padding=1).numpy()
+    got = jax.lax.conv_general_dilated(
+        jnp.asarray(np.moveaxis(x, 1, -1)), jnp.asarray(conv._conv_w(w)),
+        (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + jnp.asarray(b)
+    np.testing.assert_allclose(np.moveaxis(np.asarray(got), -1, 1), want,
+                               atol=1e-4)
+
+
+def test_convtranspose_weight_layout(rng):
+    w = rng.standard_normal((4, 8, 2, 2)).astype(np.float32)  # IOHW
+    x = rng.standard_normal((1, 4, 8, 8)).astype(np.float32)
+    want = F.conv_transpose2d(torch.from_numpy(x), torch.from_numpy(w),
+                              stride=2).numpy()
+    got = jax.lax.conv_transpose(
+        jnp.asarray(np.moveaxis(x, 1, -1)), jnp.asarray(conv._convT_w(w)),
+        (2, 2), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.moveaxis(np.asarray(got), -1, 1), want,
+                               atol=1e-4)
+
+
+def _fake_resblock_sd(prefix, cin, cout, rng, feature=64):
+    """Synthetic reference-ResBlock state dict entries (invertible_net.py:326-366
+    key shapes: conv1..conv4 Sequential(conv, ELU), conv5 plain)."""
+    sd = {}
+    chans = [(cin, feature), (feature, feature), (feature, feature),
+             (feature, feature)]
+    for i, (a, b) in enumerate(chans, start=1):
+        sd[f"{prefix}.conv{i}.0.weight"] = rng.standard_normal(
+            (b, a, 3, 3)).astype(np.float32) * 0.01
+        sd[f"{prefix}.conv{i}.0.bias"] = np.zeros(b, np.float32)
+    sd[f"{prefix}.conv5.weight"] = rng.standard_normal(
+        (cout, feature + cin, 3, 3)).astype(np.float32) * 0.01
+    sd[f"{prefix}.conv5.bias"] = np.zeros(cout, np.float32)
+    return sd
+
+
+def test_netg_conversion_loads_and_runs(rng):
+    """A synthetic reference netG state dict converts into params our
+    InvertibleNet(fused_st=False) accepts and runs invertibly."""
+    down_num, block_num, ch = 2, (1, 1), 4
+    sd = {}
+    # operations_down: [Haar, c, Haar, c]; couplings at odd indices
+    dims = [ch * 4, ch * 16]
+    for level, idx in enumerate((1, 3)):
+        c = dims[level]
+        # reference: s1/t1 = subnet(split1 -> split2); s2/t2 = (split2 -> split1)
+        for name, (a, b) in (("s1", (c // 2, c - c // 2)),
+                             ("t1", (c // 2, c - c // 2)),
+                             ("s2", (c - c // 2, c // 2)),
+                             ("t2", (c - c // 2, c // 2))):
+            sd.update(_fake_resblock_sd(f"operations_down.{idx}.{name}",
+                                        a, b, rng))
+    # operations_up: [HaarUp, c, HaarUp] (up_sched = [1, 0])
+    c = dims[-1] // 4
+    for name, (a, b) in (("s1", (c // 2, c - c // 2)),
+                         ("t1", (c // 2, c - c // 2)),
+                         ("s2", (c - c // 2, c // 2)),
+                         ("t2", (c - c // 2, c // 2))):
+        sd.update(_fake_resblock_sd(f"operations_up.1.{name}", a, b, rng))
+
+    tree = conv.convert_netg(sd, down_num=down_num, block_num=block_num)
+
+    model = InvertibleNet(channels=ch, down_num=down_num, block_num=block_num,
+                          fused_st=False)
+    x = jnp.asarray(rng.random((1, 16, 16, ch), dtype=np.float32))
+    ref = model.init(jax.random.PRNGKey(0), x)
+    # converted tree must be structurally identical to a fresh init
+    ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, ref["params"])
+    got_shapes = jax.tree_util.tree_map(lambda a: a.shape, tree["params"])
+    assert ref_shapes == got_shapes
+    y = model.apply({"params": tree["params"]}, x)
+    x_rec, _ = model.apply({"params": tree["params"]}, y, rev=True)
+    assert float(jnp.abs(x_rec - x).max()) < 1e-3
+
+
+def test_unet_conversion_loads_and_runs(rng):
+    f = 4
+    sd = {}
+    chans = {"enc1": (3, f), "enc2": (f, 2 * f), "enc3": (2 * f, 4 * f),
+             "enc4": (4 * f, 8 * f), "bottleneck": (8 * f, 16 * f),
+             "dec4": (16 * f, 8 * f), "dec3": (8 * f, 4 * f),
+             "dec2": (4 * f, 2 * f), "dec1": (2 * f, f)}
+    tmap = {"enc1": "encoder1", "enc2": "encoder2", "enc3": "encoder3",
+            "enc4": "encoder4", "bottleneck": "bottleneck",
+            "dec4": "decoder4", "dec3": "decoder3", "dec2": "decoder2",
+            "dec1": "decoder1"}
+    for fname, (cin, cout) in chans.items():
+        t = tmap[fname]
+        sd[f"{t}.{fname}conv1.weight"] = rng.standard_normal(
+            (cout, cin, 3, 3)).astype(np.float32) * 0.01
+        sd[f"{t}.{fname}conv2.weight"] = rng.standard_normal(
+            (cout, cout, 3, 3)).astype(np.float32) * 0.01
+        for i in (1, 2):
+            sd[f"{t}.{fname}norm{i}.weight"] = np.ones(cout, np.float32)
+            sd[f"{t}.{fname}norm{i}.bias"] = np.zeros(cout, np.float32)
+            sd[f"{t}.{fname}norm{i}.running_mean"] = np.zeros(cout, np.float32)
+            sd[f"{t}.{fname}norm{i}.running_var"] = np.ones(cout, np.float32)
+    for tname, cin, cout in (("upconv4", 16 * f, 8 * f),
+                             ("upconv3", 8 * f, 4 * f),
+                             ("upconv2", 4 * f, 2 * f),
+                             ("upconv1", 2 * f, f)):
+        sd[f"{tname}.weight"] = rng.standard_normal(
+            (cin, cout, 2, 2)).astype(np.float32) * 0.01
+        sd[f"{tname}.bias"] = np.zeros(cout, np.float32)
+    sd["conv.weight"] = rng.standard_normal((1, f, 1, 1)).astype(np.float32)
+    sd["conv.bias"] = np.zeros(1, np.float32)
+
+    tree = conv.convert_unet(sd)
+    model = UNet(out_channels=1, init_features=f)
+    x = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))
+    ref = model.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_map(lambda a: a.shape, ref["params"])
+            == jax.tree_util.tree_map(lambda a: a.shape, tree["params"]))
+    out = model.apply({"params": tree["params"],
+                       "batch_stats": tree["batch_stats"]}, x, train=False)
+    assert out.shape == (1, 32, 32, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_npz_roundtrip(tmp_path, rng):
+    tree = {"a": {"b": rng.random((2, 3)).astype(np.float32)},
+            "c": np.ones(4, np.float32)}
+    import numpy as np2
+    np2.savez(tmp_path / "t.npz", **conv._flatten(tree))
+    back = conv.load_npz_tree(tmp_path / "t.npz")
+    np.testing.assert_array_equal(back["a"]["b"], tree["a"]["b"])
+    np.testing.assert_array_equal(back["c"], tree["c"])
