@@ -82,3 +82,19 @@ def test_image_model_with_gan(rng):
     after = jax.tree_util.tree_leaves(new_states["discriminator"].params)
     assert any(not np.allclose(np.asarray(a), np.asarray(b))
                for a, b in zip(before, after))
+
+
+def test_image_model_with_jpeg_simulator(rng):
+    model = ImageImmunizationModel(TINY, task="pami", n_attacks=2,
+                                   attack_ratios=(0.5, 1.0),
+                                   with_jpeg_simulator=True)
+    states = model.init_states(jax.random.PRNGKey(0))
+    assert "jpeg_sim" in states
+    batch = _batch(rng)
+    new_states, logs = model.train_step(states, batch, batch.image,
+                                        jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs["l_sim"]))
+    before = jax.tree_util.tree_leaves(states["jpeg_sim"].params)
+    after = jax.tree_util.tree_leaves(new_states["jpeg_sim"].params)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(before, after))

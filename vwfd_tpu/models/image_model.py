@@ -58,7 +58,8 @@ class ImageImmunizationModel:
     def __init__(self, cfg: Config, task: str = "pami", n_attacks: int = 6,
                  with_apex: Optional[bool] = None, mesh=None,
                  attack_ratios=None, with_gan: bool = False,
-                 adversarial_weight: float = 0.01):
+                 adversarial_weight: float = 0.01,
+                 with_jpeg_simulator: bool = False):
         self.cfg = cfg
         self.task = task
         self.n_attacks = n_attacks
@@ -66,6 +67,7 @@ class ImageImmunizationModel:
         self.with_apex = task == "clr" if with_apex is None else with_apex
         self.with_gan = with_gan
         self.adversarial_weight = adversarial_weight
+        self.with_jpeg_simulator = with_jpeg_simulator
         self.mesh = mesh
         self.attack_ratios = attack_ratios
         mc, tc = cfg.model, cfg.train
@@ -88,6 +90,13 @@ class ImageImmunizationModel:
             from ..nets import Discriminator
             self.discriminator = Discriminator(dim=mc.discriminator_dim,
                                                use_sigmoid=True)
+        if self.with_jpeg_simulator:
+            # JPEG-simulator co-training (IRN_model.py:701-798): a small FBCNN
+            # learns to mimic hard-round JPEG on the current immunized images,
+            # and its (frozen) output replaces one attack branch so gradients
+            # flow through a *learned* compression model.
+            from ..nets import FBCNN
+            self.jpeg_sim = FBCNN(nc=(16, 24, 32, 48), nb=1)
         self.tx = adamw_chain(tc.lr, tc.beta1, tc.beta2, tc.weight_decay,
                               tc.gradient_clipping)
 
@@ -111,6 +120,11 @@ class ImageImmunizationModel:
             kd = jax.random.fold_in(key, 99)
             states["discriminator"] = mk(self.discriminator.apply,
                                          self.discriminator.init(kd, x3))
+        if self.with_jpeg_simulator:
+            kj = jax.random.fold_in(key, 123)
+            states["jpeg_sim"] = mk(
+                self.jpeg_sim.apply,
+                self.jpeg_sim.init(kj, x3, jnp.zeros((1, 1), jnp.float32)))
         if self.mesh is not None:
             from ..parallel import replicate
             states = replicate(states, self.mesh)
@@ -162,6 +176,30 @@ class ImageImmunizationModel:
 
         tampered = fwd_rgb * (1.0 - mask) + prev_images * mask
         attacked = self._attack_fanout(k_atk, tampered)  # (k,B,H,W,3)
+        aux_sim = {}
+        if self.with_jpeg_simulator:
+            from ..attacks.jpeg import jpeg_basic
+            k_q, _ = jax.random.split(k_crop)
+            qs = jnp.asarray([50.0, 60.0, 70.0, 80.0, 90.0])
+            q = qs[jax.random.randint(k_q, (), 0, 5)]
+            scale = jnp.where(q >= 50, 2.0 - q * 0.02, 50.0 / q)
+            qf_in = jnp.tile((q / 100.0)[None, None], (b, 1))
+            # simulator learns hard-round JPEG on the detached immunized image
+            target = jax.lax.stop_gradient(jpeg_basic(
+                jax.lax.stop_gradient(tampered), scale_factor=scale,
+                rounding="round"))
+            sim_out, _ = self.jpeg_sim.apply(
+                {"params": params["jpeg_sim"],
+                 **states["jpeg_sim"].variables},
+                jax.lax.stop_gradient(tampered), qf_in)
+            l_sim = l1_loss(jnp.clip(sim_out, 0, 1), target)
+            # frozen simulator as an extra attack branch on the LIVE tampered
+            sim_attack, _ = self.jpeg_sim.apply(
+                {"params": jax.lax.stop_gradient(params["jpeg_sim"]),
+                 **states["jpeg_sim"].variables}, tampered, qf_in)
+            sim_attack = jnp.clip(sim_attack, 0.0, 1.0)
+            attacked = jnp.concatenate([attacked, sim_attack[None]], axis=0)
+            aux_sim = {"l_sim": l_sim}
         k = attacked.shape[0]
         flat = attacked.reshape(k * b, h, w, 3)
 
@@ -219,6 +257,8 @@ class ImageImmunizationModel:
         loss = loss + l_mask
         if self.with_apex:
             loss = loss + aux_apex["l_apex"]
+        if self.with_jpeg_simulator:
+            loss = loss + aux_sim["l_sim"]
         if self.with_gan:
             # generator adversarial term (nsgan, IRNp_model.py G step)
             from ..metrics import adversarial_loss
@@ -248,7 +288,8 @@ class ImageImmunizationModel:
 
         aux = {"lF": l_forward, "lB": l_backward, "l_mask": l_mask,
                "PF": psnr_f, "PB": psnr_b, "NULL": l_null,
-               "loc_vars": loc_vars, "apex_vars": apex_vars, **aux_apex}
+               "loc_vars": loc_vars, "apex_vars": apex_vars, **aux_apex,
+               **aux_sim}
         return loss, aux
 
     def _embed_p(self, params, states, img, canny):
@@ -273,6 +314,9 @@ class ImageImmunizationModel:
         if self.with_gan:
             new_states["discriminator"] = states["discriminator"].apply_gradients(
                 grads["discriminator"]).replace(variables=aux["disc_vars"])
+        if self.with_jpeg_simulator:
+            new_states["jpeg_sim"] = states["jpeg_sim"].apply_gradients(
+                grads["jpeg_sim"])
         logs = {k: v for k, v in aux.items()
                 if k not in ("loc_vars", "apex_vars", "disc_vars")}
         logs["loss"] = loss
