@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--tiny", action="store_true", help="CPU smoke config")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--chunk", type=int, default=8,
+                    help="pipeline steps fused per dispatch (lax.scan): the "
+                    "tunnel/dispatch overhead (~12 ms measured) amortizes "
+                    "over chunk×batch×frames frames")
     ap.add_argument("--breakdown", action="store_true",
                     help="also time embed/attack/extract separately (stderr)")
     ap.add_argument("--dtype", type=str, default="bfloat16",
@@ -57,16 +61,31 @@ def main():
     model = VideoWatermarkModel(cfg, attack_ratios=ratios)
     states = model.init_states(jax.random.PRNGKey(0))
 
+    chunk = max(1, args.chunk)
+
     @jax.jit
     def pipeline(netg_params, netg_vars, gen_params, gen_vars, video, key):
+        """`chunk` full embed→attack→extract steps per dispatch. The next
+        step's input video carries a dependency on the previous step's
+        attacked output so XLA cannot hoist/CSE any stage out of the scan —
+        every iteration embeds a genuinely different clip."""
         s = {"netG": states["netG"].replace(params=netg_params, variables=netg_vars),
              "generator": states["generator"].replace(params=gen_params,
                                                       variables=gen_vars)}
-        fwd = model.embed(s, video)
         from vwfd_tpu.attacks import attack_pool_video
-        attacked = jnp.clip(attack_pool_video(key, fwd, ratios=ratios), 0.0, 1.0)
-        mask = model.predict_mask(s, attacked, train=False)
-        return fwd, mask
+
+        def body(carry, _):
+            k, v = carry
+            k, k_atk = jax.random.split(k)
+            fwd = model.embed(s, v)
+            attacked = jnp.clip(attack_pool_video(k_atk, fwd, ratios=ratios),
+                                0.0, 1.0)
+            mask = model.predict_mask(s, attacked, train=False)
+            v_next = jnp.clip(0.9 * video + 0.1 * attacked, 0.0, 1.0)
+            return (k, v_next), (jnp.mean(fwd), jnp.mean(mask))
+
+        (_, _), outs = jax.lax.scan(body, (key, video), None, length=chunk)
+        return outs
 
     rng = np.random.default_rng(0)
     video = jnp.asarray(rng.random((batch, frames, size, size, 3), np.float32))
@@ -100,15 +119,19 @@ def main():
     for _ in range(warmup):
         out = pipeline(*a, video, key)
     jax.block_until_ready(out)
+    _ = np.asarray(out[0])  # true sync before starting the clock
 
     t0 = time.perf_counter()
     for i in range(steps):
         key = jax.random.fold_in(key, i)
         out = pipeline(*a, video, key)
     jax.block_until_ready(out)
+    # np.asarray forces a real device→host sync: block_until_ready through
+    # the axon tunnel can return before execution completes (measured).
+    _ = np.asarray(out[0])
     dt = time.perf_counter() - t0
 
-    fps = steps * batch * frames / dt
+    fps = steps * chunk * batch * frames / dt
     print(json.dumps({
         "metric": "frames_per_sec_embed_attack_extract_256" if not args.tiny
                   else "frames_per_sec_tiny_smoke",

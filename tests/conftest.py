@@ -17,6 +17,12 @@ if "host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the golden/parity tier re-traces large programs;
+# on this 1-core host XLA:CPU compiles dominate suite runtime, and the cache
+# makes repeat runs (driver/judge windows) fit a timeout.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("VWFD_TEST_CACHE", "/tmp/jax_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -33,3 +39,12 @@ def pytest_configure(config):
     assert jax.default_backend() == "cpu", (
         f"tests must run on CPU, got {jax.default_backend()}")
     assert len(jax.devices()) == 8, jax.devices()
+
+
+def pytest_collection_modifyitems(config, items):
+    # Two tiers (VERDICT r1 #10): `-m smoke` = fast tier that fits a <5-min
+    # driver/judge window; `slow` marks the heavy golden/parity/train-step
+    # tests. Every non-slow test is auto-marked smoke.
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.smoke)

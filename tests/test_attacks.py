@@ -172,3 +172,17 @@ def test_gradient_penalty():
 
     gp = gradient_penalty(disc, jax.random.PRNGKey(0), real, fake)
     assert np.isfinite(float(gp))
+
+
+def test_jpeg_pool_pair_matches_weighted_sum(rng):
+    """Fused pair == w1·jpeg_pool(k1) + w2·jpeg_pool(k2) (same key splits)."""
+    import jax
+    import jax.numpy as jnp
+    from vwfd_tpu.attacks.jpeg import jpeg_pool, jpeg_pool_pair
+    img = jnp.asarray(rng.random((16, 16, 3), dtype=np.float32))
+    k1, k2 = jax.random.PRNGKey(5), jax.random.PRNGKey(9)
+    w1, w2 = 0.3, 0.55
+    ref = w1 * jpeg_pool(k1, img) + w2 * jpeg_pool(k2, img)
+    fused = jpeg_pool_pair(k1, k2, img, w1, w2)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               atol=2e-5, rtol=0)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from vwfd_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
@@ -99,3 +100,27 @@ def test_image_model_imuge_mode(rng):
     prev = jnp.clip(img + 0.1, 0, 1)
     _, logs = model.train_step(states, batch, prev, jax.random.PRNGKey(1))
     assert np.isfinite(float(logs["loss"]))
+
+
+def test_kdjpeg_collate_property(rng):
+    """LQJpegDataset batches collate to the class-major layout train_step
+    assumes: first B entries ARE the clean sources, labels [0]*B,[1]*B,…
+    (VERDICT r1 weak #7)."""
+    from vwfd_tpu.data.jpeg_data import LQJpegDataset
+    from vwfd_tpu.data import Loader
+    from vwfd_tpu.models.kdjpeg_model import KDJpegModel
+
+    ds = LQJpegDataset(size=16, synthetic_length=6, qualities=(30, 70))
+    loader = Loader(ds, batch_size=3, seed=0)
+    versions, labels = next(iter(loader))
+    flat, lab = KDJpegModel.collate(versions, labels, qf_classes=3)
+    b = versions.shape[0]
+    np.testing.assert_array_equal(lab, np.repeat(np.arange(3), b))
+    # class-major: flat[:b] are the clean (label-0) versions of all items
+    np.testing.assert_allclose(flat[:b], versions[:, 0], atol=0)
+    np.testing.assert_allclose(flat[b:2 * b], versions[:, 1], atol=0)
+    # mis-ordered labels are rejected
+    bad = np.asarray(labels).copy()
+    bad[0] = bad[0][::-1]
+    with pytest.raises(ValueError):
+        KDJpegModel.collate(versions, bad, qf_classes=3)

@@ -1,0 +1,100 @@
+"""Convergence run for the flagship video trainer (VERDICT r1 #6).
+
+Runs N train steps on DAVIS when `--root` points at a real DAVIS tree, else
+on the synthetic DAVIS-like generator (this environment has no media and no
+egress — see scripts/download_davis.sh), logging mask-BCE, forward PSNR and
+a periodic F1 sweep, for both `forward_criterion` modes:
+  * `bce`  — reference parity (IRNcrop_model.py:378-388)
+  * `l1`   — the from-scratch-stable default (configs/video.yaml)
+
+Writes JSONL to --out; summarize into BASELINE.md.
+Usage: python tools/run_convergence.py --steps 2000 --criterion l1
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--criterion", default="l1", choices=["l1", "l2", "bce"])
+    ap.add_argument("--root", default=None, help="DAVIS root (JPEGImages/480p)")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--eval-every", type=int, default=200)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from vwfd_tpu.config import Config, DataConfig, TrainConfig
+    from vwfd_tpu.data import Loader
+    from vwfd_tpu.models import VideoWatermarkModel, VideoBatch
+
+    cfg = Config(
+        data=DataConfig(gt_size=args.size, batch_size=args.batch,
+                        frames=args.frames),
+        train=TrainConfig(forward_criterion=args.criterion))
+    if args.root:
+        from vwfd_tpu.data.davis import DavisVideoDataset
+        ds = DavisVideoDataset(args.root, size=args.size, frames=args.frames)
+        source = "davis"
+    else:
+        from vwfd_tpu.data import SyntheticVideoDataset
+        ds = SyntheticVideoDataset(size=args.size, frames=args.frames,
+                                   length=512, seed=0)
+        source = "synthetic"
+    loader = Loader(ds, args.batch, seed=0)
+    model = VideoWatermarkModel(cfg)
+    key = jax.random.PRNGKey(0)
+    key, k0 = jax.random.split(key)
+    states = model.init_states(k0)
+
+    out_path = args.out or f"/tmp/convergence_{args.criterion}.jsonl"
+    f = open(out_path, "w")
+    prev = None
+    step = 0
+    t0 = time.time()
+    while step < args.steps:
+        for video, mask in loader:
+            if step >= args.steps:
+                break
+            batch = VideoBatch(jnp.asarray(video), jnp.asarray(mask))
+            if prev is None:
+                prev = batch.video
+                continue
+            key, k = jax.random.split(key)
+            states, logs = model.train_step(states, batch, prev, k)
+            step += 1
+            if step % 20 == 0 or step == 1:
+                rec = {"step": step, "criterion": args.criterion,
+                       "source": source,
+                       **{kk: float(v) for kk, v in logs.items()}}
+                if step % args.eval_every == 0 or step == args.steps:
+                    key, ke = jax.random.split(key)
+                    ev = model.eval_step(states, batch, prev, ke)
+                    rec.update(psnr_forward=float(ev["psnr_forward"]),
+                               ssim_forward=float(ev["ssim_forward"]),
+                               f1_best=float(ev["f1_best"]))
+                rec["wall_s"] = round(time.time() - t0, 1)
+                f.write(json.dumps(rec) + "\n")
+                f.flush()
+                print(rec)
+            prev = batch.video
+    f.close()
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -188,9 +188,7 @@ def _kdjpeg_loop(cfg, mesh, args, key):
         for versions, labels in loader:
             if step >= steps:
                 break
-            b, q1, h, w, c = versions.shape
-            flat = versions.transpose(1, 0, 2, 3, 4).reshape(q1 * b, h, w, c)
-            lab = labels.T.reshape(-1)
+            flat, lab = KDJpegModel.collate(versions, labels, qf_classes=6)
             key, k = jax.random.split(key)
             states, logs = model.train_step(states, jnp.asarray(flat),
                                             jnp.asarray(lab), k)

@@ -3,7 +3,7 @@
 import jax
 import jax.numpy as jnp
 
-from .jpeg import jpeg_pool
+from .jpeg import jpeg_pool, jpeg_pool_pair
 from .spatial import resize_roundtrip
 from .blur import gaussian_blur_attack, median_blur_attack
 
@@ -40,15 +40,15 @@ def attack_pool_video(key, video, ratios=None):
 
     def per_frame(k, frame):
         ks = jax.random.split(k, 4)
+        alpha = jax.nn.softmax(jax.random.normal(ks[3], (ATTACK_POOL_SIZE,)))
         a0 = (resize_roundtrip(ks[0], frame) if ratios is None
               else resize_roundtrip(ks[0], frame, ratios=ratios))
-        a1 = jpeg_pool(ks[1], frame)  # "strong" pool draw
-        a2 = jpeg_pool(ks[2], frame)  # "weak" pool draw
+        # "strong" + "weak" pool draws, fused: one DCT/IDCT, coefficients
+        # mixed by (α1, α2) — exactly α1·jpeg₁ + α2·jpeg₂ (see jpeg_pool_pair)
+        a_jpeg = jpeg_pool_pair(ks[1], ks[2], frame, alpha[1], alpha[2])
         a3 = median_blur_attack(None, frame)
         a4 = gaussian_blur_attack(None, frame)
-        alpha = jax.nn.softmax(jax.random.normal(ks[3], (ATTACK_POOL_SIZE,)))
-        stack = jnp.stack([a0, a1, a2, a3, a4], axis=0)
-        return jnp.tensordot(alpha, stack, axes=1)
+        return alpha[0] * a0 + a_jpeg + alpha[3] * a3 + alpha[4] * a4
 
     keys = jax.random.split(key, b * t).reshape(b, t, 2)
     flat = video.reshape((b * t,) + video.shape[2:])

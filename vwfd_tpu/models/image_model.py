@@ -27,11 +27,12 @@ import jax.numpy as jnp
 
 from ..attacks import jpeg_pool, resize_roundtrip, gaussian_noise
 from ..attacks.blur import gaussian_blur_attack, median_blur_attack
-from ..attacks.spatial import sample_crop_apex
+from ..attacks.spatial import (
+    sample_crop_apex, copy_move_tamper, rect_mask, rectify_crop_pad,
+)
 from ..config import Config
 from ..metrics import (
-    l1_loss, l2_loss, bce_with_logits, psnr255_int, ssim, perceptual_loss,
-    f1_sweep,
+    l1_loss, psnr255_int, ssim, perceptual_loss, f1_sweep,
 )
 from ..nets import InvertibleNet, UNetDiscriminator, QFPredictor
 from ..ops.canny import canny_soft
@@ -59,7 +60,10 @@ class ImageImmunizationModel:
                  with_apex: Optional[bool] = None, mesh=None,
                  attack_ratios=None, with_gan: bool = False,
                  adversarial_weight: float = 0.01,
-                 with_jpeg_simulator: bool = False):
+                 with_jpeg_simulator: bool = False,
+                 tamper_mode: Optional[str] = None,
+                 copy_move_prob: float = 1.0 / 3.0,
+                 reverse_k: Optional[int] = None):
         self.cfg = cfg
         self.task = task
         self.n_attacks = n_attacks
@@ -68,6 +72,20 @@ class ImageImmunizationModel:
         self.with_gan = with_gan
         self.adversarial_weight = adversarial_weight
         self.with_jpeg_simulator = with_jpeg_simulator
+        # Tamper distribution: "splice" pastes the previous batch through the
+        # stroke mask; "copymove" self-pastes a randomly shifted copy
+        # (IRNp_model.py:561-601); "mixed" draws copy-move with probability
+        # `copy_move_prob` per step (the reference alternates on
+        # global_step % 3 == 1, i.e. 1/3 of steps). PAMI defaults to mixed.
+        if tamper_mode is None:
+            tamper_mode = "mixed" if task == "pami" else "splice"
+        self.tamper_mode = tamper_mode
+        self.copy_move_prob = copy_move_prob
+        # How many of the k attacked copies feed the reverse pass: the
+        # reference reverses the full kB fan-out (IRNclr_model.py:548,628-634,
+        # IRNp_model.py:609-637); 0 = all (parity default), smaller ints bound
+        # memory on small hosts.
+        self.reverse_k = 0 if reverse_k is None else reverse_k
         self.mesh = mesh
         self.attack_ratios = attack_ratios
         mc, tc = cfg.model, cfg.train
@@ -161,7 +179,8 @@ class ImageImmunizationModel:
 
     # ----------------------------------------------------------- train step
 
-    def _loss(self, params, states, batch: ImageBatch, prev_images, key):
+    def _loss(self, params, states, batch: ImageBatch, prev_images, key,
+              jpeg_pair=None):
         tc = self.cfg.train
         img, canny, mask = batch
         if self.watermark_source == "gray_prev":
@@ -174,25 +193,60 @@ class ImageImmunizationModel:
 
         fwd_rgb, fwd_null = self._embed_p(params, states, img, canny)
 
-        tampered = fwd_rgb * (1.0 - mask) + prev_images * mask
+        apex = None
+        if self.task == "clr":
+            # CLR tamper IS the crop (IRNclr_model.py:470-494): random rect
+            # (rates 0.6–1.0 coupled within 0.2), bicubic upscale to full
+            # size; GT mask = 1 OUTSIDE the crop.
+            apex = sample_crop_apex(k_crop, (h, w), 0.6, 1.0)
+            tampered = jnp.clip(
+                crop_resize(fwd_rgb, apex, method="bicubic"), 0.0, 1.0)
+            mask = (1.0 - rect_mask((h, w), apex))[None, ..., None] \
+                * jnp.ones((b, 1, 1, 1))
+        elif self.tamper_mode == "splice":
+            tampered = fwd_rgb * (1.0 - mask) + prev_images * mask
+        else:
+            k_cm, k_sel = jax.random.split(jax.random.fold_in(k_crop, 7))
+            cm_tampered, cm_mask = copy_move_tamper(k_cm, fwd_rgb, mask)
+            if self.tamper_mode == "copymove":
+                tampered, mask = cm_tampered, cm_mask
+            else:  # mixed: copy-move on ~1/3 of steps (IRNp global_step%3==1)
+                use_cm = jax.random.bernoulli(k_sel, self.copy_move_prob)
+                splice = fwd_rgb * (1.0 - mask) + prev_images * mask
+                tampered = jnp.where(use_cm, cm_tampered, splice)
+                mask = jnp.where(use_cm, cm_mask, mask)
+        tampered = jnp.clip(tampered, 0.0, 1.0)
         attacked = self._attack_fanout(k_atk, tampered)  # (k,B,H,W,3)
         aux_sim = {}
         if self.with_jpeg_simulator:
-            from ..attacks.jpeg import jpeg_basic
             k_q, _ = jax.random.split(k_crop)
             qs = jnp.asarray([50.0, 60.0, 70.0, 80.0, 90.0])
             q = qs[jax.random.randint(k_q, (), 0, 5)]
-            scale = jnp.where(q >= 50, 2.0 - q * 0.02, 50.0 / q)
             qf_in = jnp.tile((q / 100.0)[None, None], (b, 1))
-            # simulator learns hard-round JPEG on the detached immunized image
-            target = jax.lax.stop_gradient(jpeg_basic(
-                jax.lax.stop_gradient(tampered), scale_factor=scale,
-                rounding="round"))
-            sim_out, _ = self.jpeg_sim.apply(
-                {"params": params["jpeg_sim"],
-                 **states["jpeg_sim"].variables},
-                jax.lax.stop_gradient(tampered), qf_in)
-            l_sim = l1_loss(jnp.clip(sim_out, 0, 1), target)
+            if jpeg_pair is not None:
+                # Reference recipe (IRN_model.py:735-760): the simulator
+                # learns real libjpeg — sim(clean, QF) vs the dataset's
+                # pre-compressed real-JPEG pair (jpeg_real_H from the LQ
+                # pipeline, data/LQ_dataset.py), L1.
+                jpeg_real, qf_real = jpeg_pair
+                sim_out, _ = self.jpeg_sim.apply(
+                    {"params": params["jpeg_sim"],
+                     **states["jpeg_sim"].variables}, img, qf_real[:, None])
+                l_sim = l1_loss(jnp.clip(sim_out, 0, 1),
+                                jax.lax.stop_gradient(jpeg_real))
+            else:
+                # no real-JPEG pairs in the batch: fall back to the
+                # differentiable hard-round JPEG as the target
+                from ..attacks.jpeg import jpeg_basic
+                scale = jnp.where(q >= 50, 2.0 - q * 0.02, 50.0 / q)
+                target = jax.lax.stop_gradient(jpeg_basic(
+                    jax.lax.stop_gradient(tampered), scale_factor=scale,
+                    rounding="round"))
+                sim_out, _ = self.jpeg_sim.apply(
+                    {"params": params["jpeg_sim"],
+                     **states["jpeg_sim"].variables},
+                    jax.lax.stop_gradient(tampered), qf_in)
+                l_sim = l1_loss(jnp.clip(sim_out, 0, 1), target)
             # frozen simulator as an extra attack branch on the LIVE tampered
             sim_attack, _ = self.jpeg_sim.apply(
                 {"params": jax.lax.stop_gradient(params["jpeg_sim"]),
@@ -208,55 +262,87 @@ class ImageImmunizationModel:
             {"params": params["localizer"], **states["localizer"].variables},
             flat, update_sn=True, mutable=["spectral"])
         pred_mask = pred_mask[0] if isinstance(pred_mask, tuple) else pred_mask
-        gt_mask = jnp.tile(mask, (k, 1, 1, 1))
-        l_mask = l1_loss(pred_mask, gt_mask)
+        gt_mask_exp = jnp.tile(mask, (k, 1, 1, 1))
+        l_mask = l1_loss(pred_mask, gt_mask_exp)
 
-        # ---- optional crop + apex regression (CLR)
+        # ---- optional apex regression on the attacked copies (CLR,
+        # IRNclr_model.py:570-617): the regressor trains on the detached
+        # attacked images (the reference's separate optimizer step, :588-595)
+        # and a CE term at γ=0.1 flows back to netG through the live attacked
+        # images with the apex params frozen (:598-603, :668).
         aux_apex = {}
         apex_vars = None
         rectified = flat
         if self.with_apex:
-            apex = sample_crop_apex(k_crop, (h, w), 0.5, 1.0)
-            cropped = crop_resize(flat, apex)
+            target = jnp.stack([apex[0] / h, apex[1] / h,
+                                apex[2] / w, apex[3] / w])
+            target = jnp.tile(target[None], (k * b, 1))
             (apex_mask, apex_pred), apex_vars = self.apex_net.apply(
                 {"params": params["apex"], **states["apex"].variables},
-                cropped, mutable=["spectral", "batch_stats"])
-            target = jnp.asarray([apex[0] / h, apex[1] / h,
-                                  apex[2] / w, apex[3] / w])
-            l_apex = l2_loss(apex_pred, jnp.tile(target[None], (k * b, 1)))
-            aux_apex = {"l_apex": l_apex}
-            rectified = cropped
+                jax.lax.stop_gradient(flat),
+                mutable=["spectral", "batch_stats"])
+            l_apex = l1_loss(apex_pred, target) + l1_loss(apex_mask, gt_mask_exp)
+            (ce_mask, ce_pred), _ = self.apex_net.apply(
+                {"params": jax.lax.stop_gradient(params["apex"]),
+                 **states["apex"].variables},
+                flat, mutable=["spectral", "batch_stats"])
+            l_ce = l1_loss(ce_pred, target) + l1_loss(ce_mask, gt_mask_exp)
+            aux_apex = {"l_apex": l_apex, "l_ce": l_ce}
+            # scale-back rectification before the reverse pass
+            # (IRNclr_model.py:556-575): attacked values pasted back at the
+            # crop's original position, gradients through the clean forward.
+            clean_exp = jnp.tile(fwd_rgb, (k, 1, 1, 1))
+            rectified = rectify_crop_pad(flat, clean_exp, apex)
 
-        # ---- reverse pass on the first attacked copy (reference reverses the
-        # concatenated fan-out; one copy keeps memory bounded — k-way reverse
-        # is a config knob for later rounds)
-        rect0 = rectified[:b]
-        canny_rect = canny_soft(rect0)
-        rev_in = jnp.concatenate([rect0, canny_rect], -1)
+        # ---- reverse pass over the first n_rev attacked copies — the
+        # reference reverses the FULL kB fan-out (IRNclr_model.py:548,628-634);
+        # reverse_k > 0 bounds memory when configured.
+        n_rev = k if self.reverse_k == 0 else min(self.reverse_k, k)
+        rect_r = rectified[:n_rev * b]
+        canny_rect = canny_soft(rect_r)
+        rev_in = jnp.concatenate([rect_r, canny_rect], -1)
         reversed_stuff, _ = self.netG.apply(
             {"params": params["netG"], **states["netG"].variables},
             rev_in, rev=True)
         rev_rgb = jnp.clip(reversed_stuff[..., :3], 0.0, 1.0)
         rev_wm = jnp.clip(reversed_stuff[..., 3:], 0.0, 1.0)
-
-        # ---- losses (IRNcrop_model.py:558-600 weights)
-        l_forward = l1_loss(fwd_rgb, img)
-        l_null = l1_loss(fwd_null, jnp.zeros_like(fwd_null))
-        l_forward = l_forward + 16.0 * l_null
-        l_backward = l1_loss(rev_rgb, img) + l1_loss(rev_wm, canny)
-        l_forward = l_forward + 0.01 * perceptual_loss(fwd_rgb, img)
-        l_backward = l_backward + 0.01 * perceptual_loss(
-            jnp.tile(rev_wm, (1, 1, 1, 3)), jnp.tile(canny, (1, 1, 1, 3)))
+        img_exp = jnp.tile(img, (n_rev, 1, 1, 1))
+        canny_exp = jnp.tile(canny, (n_rev, 1, 1, 1))
 
         psnr_f = jax.lax.stop_gradient(psnr255_int(img, fwd_rgb))
-        psnr_b = jax.lax.stop_gradient(psnr255_int(canny, rev_wm))
-        alpha_f = jnp.where(psnr_f < 32.0, 1.5, 1.0)
-        alpha_b = jnp.where(psnr_f - psnr_b > 1.0, 1.25 * 8.0, 8.0)
-        loss = alpha_f * l_forward + alpha_b * l_backward
-        loss = loss + 0.01 * (1.0 - ssim(fwd_rgb, img))
-        loss = loss + l_mask
-        if self.with_apex:
-            loss = loss + aux_apex["l_apex"]
+        psnr_b = jax.lax.stop_gradient(psnr255_int(img_exp, rev_rgb))
+        if self.task == "clr":
+            # IRNclr_model.py:637-680 recipe: null channel targets the canny
+            # map, a mask-normalized local backward term, PSNR-gated weights
+            # (5/1.5 forward, 1.5/1 backward), γ=0.1 CE, 0.1 SSIM.
+            l_forward = l1_loss(fwd_rgb, img) + l1_loss(fwd_null, canny)
+            l_null = l1_loss(fwd_null, canny)
+            l_backward = l1_loss(rev_rgb, img_exp) + l1_loss(rev_wm, canny_exp)
+            mask_exp = gt_mask_exp[:n_rev * b]
+            l_local = l1_loss(rev_rgb * mask_exp, img_exp * mask_exp) / (
+                jnp.mean(mask_exp) + 1e-6)
+            alpha_f = jnp.where(psnr_f < 35.0, 5.0, 1.5)
+            alpha_b = jnp.where(psnr_f - psnr_b > 1.0, 1.5, 1.0)
+            loss = alpha_f * l_forward + alpha_b * (l_backward + l_local)
+            loss = loss + 0.1 * aux_apex["l_ce"] + aux_apex["l_apex"]
+            loss = loss + 0.1 * (1.0 - ssim(fwd_rgb, img))
+            loss = loss + l_mask
+        else:
+            # ---- losses (IRNcrop_model.py:558-600 weights)
+            l_forward = l1_loss(fwd_rgb, img)
+            l_null = l1_loss(fwd_null, jnp.zeros_like(fwd_null))
+            l_forward = l_forward + 16.0 * l_null
+            l_backward = l1_loss(rev_rgb, img_exp) + l1_loss(rev_wm, canny_exp)
+            l_forward = l_forward + 0.01 * perceptual_loss(fwd_rgb, img)
+            l_backward = l_backward + 0.01 * perceptual_loss(
+                jnp.tile(rev_wm, (1, 1, 1, 3)), jnp.tile(canny_exp, (1, 1, 1, 3)))
+            alpha_f = jnp.where(psnr_f < 32.0, 1.5, 1.0)
+            alpha_b = jnp.where(psnr_f - psnr_b > 1.0, 1.25 * 8.0, 8.0)
+            loss = alpha_f * l_forward + alpha_b * l_backward
+            loss = loss + 0.01 * (1.0 - ssim(fwd_rgb, img))
+            loss = loss + l_mask
+            if self.with_apex:
+                loss = loss + aux_apex["l_apex"] + 0.1 * aux_apex["l_ce"]
         if self.with_jpeg_simulator:
             loss = loss + aux_sim["l_sim"]
         if self.with_gan:
@@ -299,10 +385,14 @@ class ImageImmunizationModel:
         return (ste_quantize_255(clamp_with_grad(fwd[..., :3])), fwd[..., 3:])
 
     @functools.partial(jax.jit, static_argnums=0)
-    def train_step(self, states, batch: ImageBatch, prev_images, key):
+    def train_step(self, states, batch: ImageBatch, prev_images, key,
+                   jpeg_pair=None):
+        """One fused update. `jpeg_pair=(jpeg_real, qf)` supplies real-libjpeg
+        targets for the simulator (qf in [0,1]); None falls back to the
+        differentiable hard-round target."""
         params = {k: s.params for k, s in states.items()}
         (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
-            params, states, batch, prev_images, key)
+            params, states, batch, prev_images, key, jpeg_pair)
         new_states = {
             "netG": states["netG"].apply_gradients(grads["netG"]),
             "localizer": states["localizer"].apply_gradients(
@@ -334,11 +424,25 @@ class ImageImmunizationModel:
             canny = (prev_images @ gray)[..., None]
         fwd_rgb, fwd_null = self._embed_p(
             {k: s.params for k, s in states.items()}, states, img, canny)
-        tampered = fwd_rgb * (1.0 - mask) + prev_images * mask
+        apex = None
+        if self.task == "clr":
+            # folder-protocol eval runs the rectified (padded) reverse
+            # (IRNclr_model.py:827-899): crop tamper → attack → scale-back
+            # zero-pad rectification → reverse.
+            k_apex, key = jax.random.split(key)
+            apex = sample_crop_apex(k_apex, img.shape[1:3], 0.6, 1.0)
+            tampered = jnp.clip(
+                crop_resize(fwd_rgb, apex, method="bicubic"), 0.0, 1.0)
+            mask = (1.0 - rect_mask(img.shape[1:3], apex))[None, ..., None] \
+                * jnp.ones((img.shape[0], 1, 1, 1))
+        else:
+            tampered = fwd_rgb * (1.0 - mask) + prev_images * mask
         attacked = jnp.clip(self._attack_fanout(key, tampered)[0], 0.0, 1.0)
         pred_mask, _ = self.localizer.apply(
             {"params": states["localizer"].params,
              **states["localizer"].variables}, attacked)
+        if self.task == "clr":
+            attacked = rectify_crop_pad(attacked, fwd_rgb, apex)
         rev_in = jnp.concatenate([attacked, canny_soft(attacked)], -1)
         reversed_stuff, _ = self.netG.apply(
             {"params": states["netG"].params, **states["netG"].variables},

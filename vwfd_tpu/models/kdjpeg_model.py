@@ -63,13 +63,42 @@ class KDJpegModel:
                                 self.discriminator.init(ks[2], img)),
         }
 
+    @staticmethod
+    def collate(versions, labels, qf_classes: int = 6):
+        """Flatten an LQJpegDataset batch ((B, Q+1, H, W, C), (B, Q+1)) into
+        the CLASS-MAJOR layout `train_step` requires: entry c·B+i is class c
+        of item i, so `real_jpeg[:B]` are the clean sources and labels read
+        [0]·B, [1]·B, … Validates the invariant instead of assuming it
+        (the reference assumes dataset ordering silently,
+        IRNrhi_model.py:468-471)."""
+        b, q1 = labels.shape
+        if q1 != qf_classes:
+            raise ValueError(
+                f"batch carries {q1} quality classes, model expects "
+                f"{qf_classes} (LQJpegDataset qualities + clean)")
+        flat = versions.transpose(1, 0, 2, 3, 4).reshape(
+            (q1 * b,) + versions.shape[2:])
+        lab = labels.T.reshape(-1)
+        import numpy as _np
+        expect = _np.repeat(_np.arange(q1), b)
+        if not _np.array_equal(_np.asarray(lab), expect):
+            raise ValueError(
+                "LQ batch labels are not class-major [0]*B,[1]*B,…: "
+                f"got {lab[:3 * b]}…")
+        return flat, lab
+
     @functools.partial(jax.jit, static_argnums=0)
     def train_step(self, states, real_jpeg, labels, key):
-        """real_jpeg: (6B, H, W, 3) images pre-compressed at per-sample QF;
-        labels: (6B,) integer QF class. The first B entries are treated as the
-        clean sources replicated for simulation (IRNrhi_model.py:468-471)."""
+        """real_jpeg: (6B, H, W, 3) images pre-compressed at per-sample QF in
+        CLASS-MAJOR order (use `KDJpegModel.collate`); labels: (6B,) integer
+        QF class. The first B entries are the clean sources replicated for
+        simulation (IRNrhi_model.py:468-471)."""
         del key
         b6 = real_jpeg.shape[0]
+        if b6 % self.qf_classes != 0:
+            raise ValueError(
+                f"batch of {b6} is not divisible by qf_classes="
+                f"{self.qf_classes}; pass a class-major LQ batch (collate())")
         b = b6 // self.qf_classes
 
         # ---- 1. QF classifier step

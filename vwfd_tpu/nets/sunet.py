@@ -114,6 +114,49 @@ class SwinBlock(nn.Module):
         return x + z
 
 
+def pixel_shuffle(x, r: int):
+    """torch.nn.PixelShuffle in NHWC: (B, H, W, C·r²) → (B, H·r, W·r, C) with
+    torch's channel ordering (k = c·r² + i·r + j)."""
+    b, h, w, cr2 = x.shape
+    c = cr2 // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # (B, H, r, W, r, C)
+    return x.reshape(b, h * r, w * r, c)
+
+
+class DualUpSample(nn.Module):
+    """The exact dual up-sample of SUNet_detail.py:334-390 (UpSample):
+
+      up_p: 1×1 conv (C→r²·C_out·?) → PReLU → PixelShuffle(r) → 1×1 conv
+      up_b: 1×1 conv (C→C, bias) → PReLU → bilinear ×r → 1×1 conv (→C_out)
+      out = 1×1 conv(concat([up_p, up_b]))    (no bias)
+
+    factor 2: C_out = C/2 (decoder stages); factor 4: C_out = C (final head).
+    """
+    factor: int = 2
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.resize import resize_bilinear
+        c = x.shape[-1]
+        r = self.factor
+        c_out = c // 2 if r == 2 else c
+        # pixel-shuffle branch: conv lifts to r²·(c/2 | c) channels
+        lift = 2 * c if r == 2 else 16 * c
+        p = nn.Conv(lift, (1, 1), use_bias=False, name="up_p_conv1")(x)
+        p = nn.PReLU()(p)
+        p = pixel_shuffle(p, r)
+        p = nn.Conv(c_out, (1, 1), use_bias=False, name="up_p_conv2")(p)
+        # bilinear branch
+        b_ = nn.Conv(c, (1, 1), name="up_b_conv1")(x)
+        b_ = nn.PReLU()(b_)
+        hh, ww = b_.shape[-3], b_.shape[-2]
+        b_ = resize_bilinear(b_, (hh * r, ww * r))
+        b_ = nn.Conv(c_out, (1, 1), use_bias=False, name="up_b_conv2")(b_)
+        return nn.Conv(c_out, (1, 1), use_bias=False, name="fuse")(
+            jnp.concatenate([p, b_], -1))
+
+
 class SUNet(nn.Module):
     """Swin U-Net: conv patch-embed, Swin stages with PatchMerging down /
     dual-upsample up, skip connections, conv head."""
@@ -149,29 +192,21 @@ class SUNet(nn.Module):
                     nn.LayerNorm(name=f"merge_norm{i}")(h))
 
         for i in reversed(range(len(self.depths) - 1)):
-            # dual up-sample (SUNet_detail dual up-sample): transposed conv
-            # + pixel-shuffle averaged
-            b, hh, ww, cc = h.shape
-            up_a = nn.ConvTranspose(cc // 2, (2, 2), strides=(2, 2),
-                                    name=f"up{i}_t")(h)
-            ps = nn.Conv(2 * cc, (1, 1), name=f"up{i}_ps")(h)
-            ps = ps.reshape(b, hh, ww, 2, 2, cc // 2)
-            ps = ps.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * hh, 2 * ww,
-                                                        cc // 2)
-            h = 0.5 * (up_a + ps)
+            # exact dual up-sample between decoder stages
+            # (SUNet_detail.py:334-357 factor-2 branch)
+            h = DualUpSample(factor=2, name=f"up{i}")(h)
             h = jnp.concatenate([h, skips[i]], -1)
+            # concat_back_dim linear (SUNet_detail.py:654-656)
             h = nn.Dense(dims[i], name=f"fuse{i}")(h)
             for d in range(self.depths[i]):
                 h = SwinBlock(dims[i], self.num_heads[i], self.window_size,
                               shift=0 if d % 2 == 0 else self.window_size // 2,
                               name=f"dec{i}_blk{d}")(h)
 
-        # back to full resolution (×4) with two pixel-shuffle ups
-        for j in range(2):
-            b, hh, ww, cc = h.shape
-            ps = nn.Conv(2 * cc, (3, 3), padding=1, name=f"final_up{j}")(h)
-            ps = ps.reshape(b, hh, ww, 2, 2, cc // 2)
-            h = ps.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * hh, 2 * ww,
-                                                       cc // 2)
-        out = nn.Conv(self.out_channels, (3, 3), padding=1, name="head")(h)
+        # final ×4 dual up-sample head + 3×3 conv (SUNet_detail.py:680-685,
+        # up_x4 :736-744, forward :747-753)
+        h = nn.LayerNorm(name="norm_up")(h)
+        h = DualUpSample(factor=4, name="up_final")(h)
+        out = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
+                      name="head")(h)
         return nn.sigmoid(out) if self.apply_sigmoid else out
