@@ -52,7 +52,10 @@ def main():
         ratios = (0.5, 1.0, 1.5)
     else:
         size, frames, batch, steps, warmup = 256, 4, args.batch or 32, args.steps or 10, 3
-        mc = ModelConfig()
+        # inn_subnet='res_pallas': fused VMEM-resident coupling-subnet kernel
+        # (nets/pallas_coupling.py) — same math/params as 'res', measured
+        # 1.5-4x faster per coupling on v5e (embed was bandwidth-bound)
+        mc = ModelConfig(inn_subnet="res_pallas")
         ratios = None
 
     from vwfd_tpu.config import TrainConfig

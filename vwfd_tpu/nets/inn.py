@@ -75,7 +75,34 @@ class ResSubnet(nn.Module):
             jnp.concatenate([x, h], -1))
 
 
-_SUBNETS = {"res": ResSubnet, "dense": DenseSubnet}
+class PallasSubnet(nn.Module):
+    """ResSubnet with the fused Pallas TPU kernel as its forward
+    (nets/pallas_coupling.py): identical math and the SAME param tree
+    (Conv_0..Conv_4/{kernel,bias}) so checkpoints interchange with
+    `ResSubnet`. Backward runs the equivalent XLA chain via custom_vjp.
+    On non-TPU backends the kernel runs in interpret mode (tests)."""
+    out_channels: int
+    feature: int = 64
+    dtype: object = None  # accepted for subnet-signature uniformity (bf16 always)
+
+    @nn.compact
+    def __call__(self, x):
+        from .pallas_coupling import pallas_subnet_op
+        init = scaled_glorot(0.1)
+        cin, f = x.shape[-1], self.feature
+        shapes = [(3, 3, cin, f), (3, 3, f, f), (3, 3, f, f), (3, 3, f, f),
+                  (3, 3, cin + f, self.out_channels)]
+        ws, bs = [], []
+        for i, shape in enumerate(shapes):
+            k_init = nn.initializers.zeros if i == 4 else init
+            ws.append(self.param(f"Conv_{i}", lambda *a, **kw: {
+                "kernel": k_init(*a, **kw),
+                "bias": jnp.zeros((shape[-1],), jnp.float32)}, shape))
+        ws, bs = zip(*[(w["kernel"], w["bias"]) for w in ws])
+        return pallas_subnet_op(x.astype(jnp.bfloat16), tuple(ws), tuple(bs))
+
+
+_SUBNETS = {"res": ResSubnet, "dense": DenseSubnet, "res_pallas": PallasSubnet}
 
 
 def _e(s):
@@ -107,7 +134,7 @@ class RNVPCoupling(nn.Module):
         sub = _SUBNETS[self.subnet]
         kw = {}
         if self.width:
-            kw = ({"feature": self.width} if self.subnet == "res"
+            kw = ({"feature": self.width} if self.subnet.startswith("res")
                   else {"gc": self.width})
         if self.fused_st:
             self.st1 = sub(2 * split2, dtype=self.dtype, **kw)

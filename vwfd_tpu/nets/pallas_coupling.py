@@ -1,0 +1,290 @@
+"""Fused Pallas kernel for the INN coupling-block subnet (VERDICT r1 #2).
+
+The RNVP coupling trunk (nets/inn.py::ResSubnet, fused_st form — reference
+models/invertible_net.py:326-366) is 5 chained 3×3 convs with 64-wide hidden
+channels. Under XLA each conv is a separate op with N=64 output lanes
+(half the 128-lane MXU) plus fusion/layout overhead between ops — measured
+~24% MXU on the embed path vs ~61% on the (wide-channel) UNet. This kernel
+runs the WHOLE chain on one VMEM-resident tile:
+
+  * grid over (batch, spatial tiles); each program DMAs a halo'd input tile
+    (halo 5 = 1 px per conv) from HBM, computes conv1..conv5 entirely in
+    VMEM, and writes the exact tile core. Zero intermediate HBM traffic.
+  * convs with Cin < 128 are evaluated as ONE im2col GEMM (K = 9·Cin —
+    ~90% K-fill for the 64-wide trunk vs 50% for per-shift K=64 dots);
+    convs with Cin ≥ 128 accumulate 9 shifted dots (K already fills the MXU).
+  * biases + ELU ride the VPU between GEMMs; accumulation in f32,
+    activations bf16 (same as the XLA bf16 path).
+
+Forward-only: the bench/serving embed path. Training keeps the XLA subnet
+(autodiff through `pallas_call` is not wired; `custom_vjp` is the follow-up).
+Numerics are validated against `ResSubnet` with ported weights in
+tests/test_pallas_coupling.py (interpret mode on CPU, tolerance ~bf16).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HALO = 5   # one pixel per conv in the 5-conv chain
+_WHALO = 8  # W-side halo rounded up: DMA slice widths need 8-alignment
+
+
+def _cinp(cin: int) -> int:
+    """Channel count padded to the 64-aligned lane offset Mosaic stores need."""
+    return cin + ((-cin) % 64)
+
+
+def pack_conv_matrix(w):
+    """Host-side: (3, 3, Cin, Cout) conv kernel → (9·cinp, Cout) im2col GEMM
+    matrix with zero rows in the per-tap channel-padding gaps (the kernel
+    writes each shifted slice at lane offset k·cinp)."""
+    kh, kw, cin, cout = w.shape
+    cinp = _cinp(cin)
+    wp = jnp.pad(w, ((0, 0), (0, 0), (0, cinp - cin), (0, 0)))
+    return wp.reshape(kh * kw * cinp, cout)
+
+
+def _conv3x3_tile(t, w, b, *, elu: bool):
+    """VALID 3×3 conv on a VMEM-resident tile.
+
+    t: (Ht, Wt, Cin) bf16 value; b: (Cout,). For Cin < 128, `w` is the
+    host-packed (9·cinp, Cout) im2col matrix (pack_conv_matrix) and the GEMM
+    runs with K = 9·cinp (~90% K-fill); for Cin ≥ 128 `w` is the raw
+    (3, 3, Cin, Cout) kernel and 9 shifted dots accumulate (K already fills
+    the MXU). Returns (Ht-2, Wt-2, Cout) bf16.
+    """
+    ht, wt, cin = t.shape
+    cout = w.shape[-1]
+    ho, wo = ht - 2, wt - 2
+    if cin < 128:
+        cinp = _cinp(cin)
+        assert w.ndim == 2 and w.shape[0] == 9 * cinp, (w.shape, cin)
+
+        # im2col through a VMEM scratch: Mosaic has no vector concat of
+        # sublane-shifted slices, but offset stores relayout. Padding gaps
+        # stay zero from the explicit scratch clear.
+        def build_and_dot(cols_ref):
+            if cinp != cin:
+                cols_ref[:] = jnp.zeros((ho, wo, 9 * cinp), jnp.bfloat16)
+            for k, (dy, dx) in enumerate((dy, dx) for dy in range(3)
+                                         for dx in range(3)):
+                cols_ref[:, :, k * cinp:k * cinp + cin] = \
+                    t[dy:dy + ho, dx:dx + wo, :]
+            return jax.lax.dot_general(
+                cols_ref[:], w,
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        acc = pl.run_scoped(
+            build_and_dot, pltpu.VMEM((ho, wo, 9 * cinp), jnp.bfloat16))
+    else:
+        acc = jnp.zeros((ho, wo, cout), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                acc = acc + jax.lax.dot_general(
+                    t[dy:dy + ho, dx:dx + wo, :], w[dy, dx],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+    acc = acc + b[None, None, :]
+    if elu:
+        # exp(x)−1 rather than expm1: Mosaic has no expm1 lowering; the f32
+        # accumulator keeps the difference below bf16 resolution here
+        acc = jnp.where(acc > 0, acc, jnp.exp(acc) - 1.0)
+    return acc.astype(jnp.bfloat16)
+
+
+def _zero_outside(h, y0, x0, img_h: int, img_w: int):
+    """Zero positions whose IMAGE coordinate falls outside [0, H)×[0, W).
+
+    The reference chain applies SAME (zero) padding at EVERY conv
+    (invertible_net.py ResBlock: nn.Conv2d(..., padding=1) per layer), so each
+    intermediate is zero outside the image — a halo'd VALID chain computes
+    real values there instead and diverges at borders unless re-zeroed.
+    y0/x0: image coordinate of h[0, 0] (traced)."""
+    # full-rank iota: Mosaic cannot reshape/broadcast a 2-D i1 mask to 3-D
+    ys = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0) + y0
+    xs = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1) + x0
+    ok = (ys >= 0) & (ys < img_h) & (xs >= 0) & (xs < img_w)
+    return jnp.where(ok, h, jnp.zeros_like(h))
+
+
+def _subnet_kernel(xp_ref, w1, b1, w2, b2, w3, b3, w4, b4, w5x, w5h, b5,
+                   out_ref, x_tile, sem, *, th: int, tw: int, img_h: int,
+                   img_w: int):
+    """One spatial tile of the fused 5-conv ResSubnet chain."""
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+
+    # W-halo is widened to 8 (DMA slice width on the second-minor dim must be
+    # 8-aligned); the extra 3 columns per side are cropped in-register.
+    dma = pltpu.make_async_copy(
+        xp_ref.at[bi, pl.ds(ti * th, th + 2 * _HALO),
+                  pl.ds(tj * tw, tw + 2 * _WHALO), :],
+        x_tile, sem)
+    dma.start()
+    dma.wait()
+
+    y0 = ti * th - _HALO  # image coord of x_tile[0, 0]
+    x0 = tj * tw - _HALO
+    x = x_tile[:, _WHALO - _HALO:_WHALO + tw + _HALO, :]  # (th+10, tw+10, Cin)
+    h = _conv3x3_tile(x, w1[:], b1[:], elu=True)    # (th+8, tw+8, F)
+    h = _zero_outside(h, y0 + 1, x0 + 1, img_h, img_w)
+    h = _conv3x3_tile(h, w2[:], b2[:], elu=True)    # (th+6, ...)
+    h = _zero_outside(h, y0 + 2, x0 + 2, img_h, img_w)
+    h = _conv3x3_tile(h, w3[:], b3[:], elu=True)    # (th+4, ...)
+    h = _zero_outside(h, y0 + 3, x0 + 3, img_h, img_w)
+    h = _conv3x3_tile(h, w4[:], b4[:], elu=True)    # (th+2, ...)
+    h = _zero_outside(h, y0 + 4, x0 + 4, img_h, img_w)
+    # conv5 on concat(x, h), split into two dots (concat of differently-laid
+    # vectors is unsupported in Mosaic; conv is linear in the concat):
+    # conv(cat(x,h), w5) = conv(x, w5[:cin]) + conv(h, w5[cin:])
+    xc = x[4:4 + th + 2, 4:4 + tw + 2, :]
+    o1 = _conv3x3_tile(xc, w5x[:], b5[:], elu=False)
+    o2 = _conv3x3_tile(h, w5h[:], jnp.zeros_like(b5[:]), elu=False)
+    out_ref[0] = o1 + o2
+
+
+def _pick_tile(h: int, w: int):
+    th = 64 if h >= 128 else h
+    tw = 64 if w >= 128 else w
+    return th, tw
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_res_subnet(x, weights, biases, interpret: bool = False):
+    """Fused ResSubnet forward: x (B, H, W, Cin) bf16/f32 → (B, H, W, Cout).
+
+    weights: tuple of 5 conv kernels (3,3,Cin→F,F→F×3,(Cin+F)→Cout);
+    biases: tuple of 5. SAME padding via explicit zero pad + VALID chain.
+    """
+    b, h, w, cin = x.shape
+    th, tw = _pick_tile(h, w)
+    cout = weights[4].shape[-1]
+    x = x.astype(jnp.bfloat16)
+    # DMA slices need the (tiled) channel minor dim 128-aligned: pad input
+    # channels to a 128 multiple (w1/w5x get matching zero rows). conv1 and
+    # conv5's x-part then run as K=128 shifted dots — full MXU K-fill.
+    c128 = (-cin) % 128
+    w1 = weights[0]
+    w5x, w5h = weights[4][:, :, :cin, :], weights[4][:, :, cin:, :]
+    if c128:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, c128)))
+        w1 = jnp.pad(w1, ((0, 0), (0, 0), (0, c128), (0, 0)))
+        w5x = jnp.pad(w5x, ((0, 0), (0, 0), (0, c128), (0, 0)))
+        cin += c128
+    xp = jnp.pad(x, ((0, 0), (_HALO, _HALO), (_WHALO, _WHALO), (0, 0)))
+    # conv5 enters as two kernels (x-part / h-part) — see _subnet_kernel;
+    # small-Cin kernels are packed host-side into im2col GEMM matrices.
+    raw = [w1, weights[1], weights[2], weights[3], w5x, w5h]
+    packed = [wk if wk.shape[2] >= 128 else pack_conv_matrix(wk) for wk in raw]
+    wlist = [packed[0], biases[0], packed[1], biases[1], packed[2],
+             biases[2], packed[3], biases[3], packed[4], packed[5], biases[4]]
+    wb = [a.astype(jnp.float32) if a.ndim == 1 else a.astype(jnp.bfloat16)
+          for a in wlist]
+
+    grid = (b, h // th, w // tw)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # xp: manual DMA
+    for a in wb:
+        in_specs.append(pl.BlockSpec(a.shape, lambda *_, n=a.ndim: (0,) * n,
+                                     memory_space=pltpu.VMEM))
+
+    out = pl.pallas_call(
+        functools.partial(_subnet_kernel, th=th, tw=tw, img_h=h, img_w=w),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, th, tw, cout),
+                               lambda bi, ti, tj: (bi, ti, tj, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((th + 2 * _HALO, tw + 2 * _WHALO, cin), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xp, *wb)
+    return out
+
+
+class PallasResSubnet:
+    """Callable bundling ResSubnet params for the fused kernel (see
+    nets/inn.py for how couplings select it via `subnet='res_pallas'`)."""
+
+    @staticmethod
+    def from_flax_params(params):
+        """params: the Flax ResSubnet param dict {Conv_0..Conv_4: {kernel,bias}}."""
+        ws = tuple(jnp.asarray(params[f"Conv_{i}"]["kernel"]) for i in range(5))
+        bs = tuple(jnp.asarray(params[f"Conv_{i}"]["bias"]) for i in range(5))
+        return ws, bs
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@jax.custom_vjp
+def pallas_subnet_op(x, ws, bs):
+    """Fused-kernel forward with an XLA-chain backward: the two are
+    numerically equivalent (parity-tested), so training through the Pallas
+    forward uses the standard conv VJP (rematerialized)."""
+    return fused_res_subnet(x, ws, bs, interpret=_use_interpret())
+
+
+def _op_fwd(x, ws, bs):
+    return pallas_subnet_op(x, ws, bs), (x, ws, bs)
+
+
+def _chain_uniform_bf16(x, ws, bs):
+    """Dtype-uniform (all-bf16) version of the chain for VJP purposes: mixed
+    bf16/f32 operands break `conv_general_dilated` inside jax.vjp."""
+    t = x.astype(jnp.bfloat16)
+    h = t
+    ws = [w.astype(jnp.bfloat16) for w in ws]
+    bs = [b.astype(jnp.bfloat16) for b in bs]
+    for i in range(4):
+        t = jax.lax.conv_general_dilated(
+            t, ws[i], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bs[i]
+        t = jnp.where(t > 0, t, jnp.expm1(t.astype(jnp.float32)).astype(
+            jnp.bfloat16))
+    cat = jnp.concatenate([h, t], axis=-1)
+    return jax.lax.conv_general_dilated(
+        cat, ws[4], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bs[4]
+
+
+def _op_bwd(res, g):
+    x, ws, bs = res
+    _, vjp = jax.vjp(_chain_uniform_bf16, x, ws, bs)
+    gx, gws, gbs = vjp(g.astype(jnp.bfloat16))
+    gws = tuple(a.astype(w.dtype) for a, w in zip(gws, ws))
+    gbs = tuple(a.astype(b.dtype) for a, b in zip(gbs, bs))
+    return gx.astype(x.dtype), gws, gbs
+
+
+pallas_subnet_op.defvjp(_op_fwd, _op_bwd)
+
+
+def res_subnet_reference(x, weights, biases):
+    """Plain-XLA reference of the same chain (for parity tests/benchmarks)."""
+    h = x.astype(jnp.bfloat16)
+    t = h
+    for i in range(4):
+        t = jax.lax.conv_general_dilated(
+            t, weights[i].astype(jnp.bfloat16), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32) + biases[i]
+        t = jnp.where(t > 0, t, jnp.expm1(t)).astype(jnp.bfloat16)
+    cat = jnp.concatenate([h, t], axis=-1)
+    out = jax.lax.conv_general_dilated(
+        cat, weights[4].astype(jnp.bfloat16), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32) + biases[4]
+    return out.astype(jnp.bfloat16)
