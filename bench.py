@@ -35,6 +35,8 @@ def main():
                     help="also time embed/attack/extract separately (stderr)")
     ap.add_argument("--dtype", type=str, default="bfloat16",
                     help="compute dtype: bfloat16 | float32")
+    ap.add_argument("--subnet", type=str, default="res",
+                    help="INN coupling subnet: res (XLA) | res_pallas (fused kernel)")
     args = ap.parse_args()
 
     import jax
@@ -52,10 +54,11 @@ def main():
         ratios = (0.5, 1.0, 1.5)
     else:
         size, frames, batch, steps, warmup = 256, 4, args.batch or 32, args.steps or 10, 3
-        # inn_subnet='res_pallas': fused VMEM-resident coupling-subnet kernel
-        # (nets/pallas_coupling.py) — same math/params as 'res', measured
-        # 1.5-4x faster per coupling on v5e (embed was bandwidth-bound)
-        mc = ModelConfig(inn_subnet="res_pallas")
+        # NB: inn_subnet='res_pallas' (the fused coupling kernel) measured
+        # SLOWER in-context (embed 83.6 vs 35.4 ms — BASELINE.md r2 table);
+        # per-call micro-benches flattered it via dispatch pipelining. The
+        # XLA subnet stays the bench default until the kernel wins in-context.
+        mc = ModelConfig(inn_subnet=args.subnet)
         ratios = None
 
     from vwfd_tpu.config import TrainConfig

@@ -5,6 +5,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 import jax
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -20,6 +21,7 @@ def test_entry_compiles():
     assert np.isfinite(np.asarray(fwd)).all()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
     g.dryrun_multichip(8)  # asserts finite loss internally

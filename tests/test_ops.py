@@ -227,3 +227,37 @@ def test_symm_pad_matches_torch_reflect_for_small_pad(rng):
     got = np.asarray(ops.symm_pad(jnp.asarray(x), (2, 2, 2, 2)))
     want = np.pad(x[0, :, :, 0], ((2, 2), (2, 2)), mode="symmetric")
     np.testing.assert_allclose(got[0, :, :, 0], want, atol=1e-6)
+
+
+def test_flow_warp_matches_torch_grid_sample(rng):
+    """flow_warp parity vs the reference's F.grid_sample formulation
+    (models/modules/module_util.py:75-99), align_corners=True."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as TF
+    from vwfd_tpu.ops.warp import flow_warp
+
+    x = rng.random((2, 8, 10, 3)).astype(np.float32)
+    flow = (rng.random((2, 8, 10, 2)).astype(np.float32) - 0.5) * 4
+
+    got = np.asarray(flow_warp(jnp.asarray(x), jnp.asarray(flow)))
+
+    tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    tflow = torch.from_numpy(flow)
+    h, w = 8, 10
+    gy, gx = torch.meshgrid(torch.arange(h), torch.arange(w), indexing="ij")
+    grid = torch.stack((gx, gy), 2).float()[None] + tflow
+    vx = 2.0 * grid[..., 0] / max(w - 1, 1) - 1.0
+    vy = 2.0 * grid[..., 1] / max(h - 1, 1) - 1.0
+    vgrid = torch.stack((vx, vy), dim=3)
+    ref = TF.grid_sample(tx, vgrid, mode="bilinear", padding_mode="zeros",
+                         align_corners=True)
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_flow_warp_zero_flow_identity(rng):
+    from vwfd_tpu.ops.warp import flow_warp
+    x = jnp.asarray(rng.random((1, 6, 6, 2)).astype(np.float32))
+    out = flow_warp(x, jnp.zeros((1, 6, 6, 2)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)

@@ -62,6 +62,7 @@ def test_flax_param_port(rng):
     assert np.abs(got - ref).max() / scale < 0.05
 
 
+@pytest.mark.slow
 def test_pallas_subnet_module_tree_and_grad(rng):
     """PallasSubnet declares the exact ResSubnet param tree (checkpoints
     interchange), matches its output, and is differentiable (custom_vjp

@@ -47,3 +47,47 @@ def test_generate_immunized_roundtrip(tmp_path, rng, monkeypatch):
         src = cv2.resize(cv2.imread(str(ori / f"im{i}.png")), (32, 32))
         assert np.abs(im.astype(np.float32) -
                       src.astype(np.float32)).mean() < 16.0
+
+
+def test_jpegadv_experiment_smoke(monkeypatch, tmp_path):
+    """Targeted jpegadv study driver runs end-to-end on synthetic images
+    (jpegadv/targeted_compress.py condensed protocol)."""
+    import json
+    mod = _load("jpegadv_experiment")
+    out = tmp_path / "res.json"
+    monkeypatch.setattr(sys, "argv", [
+        "jpegadv_experiment.py", "--victim", "C", "--targeted",
+        "--n", "2", "--size", "16", "--qualities", "90", "50",
+        "--out", str(out)])
+    mod.main()
+    res = json.loads(out.read_text())
+    assert res["targeted"] is True and len(res["rows"]) == 2
+    sweep = res["rows"][0]["sweep"]
+    assert {"jpg_pic", "jpg_adv"} == set(sweep)
+    assert [e["q"] for e in sweep["jpg_pic"]] == [90, 50]
+    assert all(np.isfinite(e["psnr_with_pic"]) for e in sweep["jpg_adv"])
+
+
+def test_victims_and_targeted_igsm(rng):
+    """Victim CNNs forward; targeted IGSM moves logits toward the target."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from vwfd_tpu import adversarial as adv
+    x = jnp.asarray(rng.random((2, 28, 28, 3)).astype(np.float32))
+    for name, cls in adv.VICTIMS.items():
+        m = cls(num_classes=5)
+        p = m.init(jax.random.PRNGKey(0), x)
+        lg = m.apply(p, x)
+        assert lg.shape == (2, 5), name
+    m = adv.VICTIMS["C"](num_classes=5)
+    p = m.init(jax.random.PRNGKey(1), x)
+    target = 3
+    def loss(im):
+        lg = m.apply(p, im[None] if im.ndim == 3 else im)
+        return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+            lg, jnp.full((lg.shape[0],), target)))
+    before = float(loss(x[0]))
+    advp = adv.igsm_targeted(loss, x[0], epsilon=0.1, step_size=0.02)
+    after = float(loss(advp))
+    assert after < before

@@ -10,6 +10,7 @@ from vwfd_tpu.models.kdjpeg_model import KDJpegModel
 from vwfd_tpu.models.tianchi_model import TianchiModel
 
 
+@pytest.mark.slow
 def test_kdjpeg_train_step(rng):
     cfg = Config(data=DataConfig(gt_size=32))
     model = KDJpegModel(cfg, qf_classes=3, size=32, nc=(8, 12, 16, 24), nb=1,
@@ -28,6 +29,7 @@ def test_kdjpeg_train_step(rng):
     assert sim.shape == (2, 32, 32, 3)
 
 
+@pytest.mark.slow
 def test_tianchi_train_and_eval(rng):
     cfg = Config(data=DataConfig(gt_size=32))
     model = TianchiModel(cfg, embed_dim=8, depths=(1, 1), num_heads=(2, 2),
@@ -81,6 +83,7 @@ def test_schedules():
     assert abs(float(w(20)) - 1e-3) < 1e-8
 
 
+@pytest.mark.slow
 def test_image_model_imuge_mode(rng):
     import jax.numpy as jnp
     from vwfd_tpu.config import Config, DataConfig, ModelConfig

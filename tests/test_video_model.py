@@ -33,6 +33,7 @@ def model_and_states():
     return model, states
 
 
+@pytest.mark.slow
 def test_train_step_updates_and_logs(model_and_states, rng):
     model, states = model_and_states
     batch = _batch(rng, TINY)
@@ -72,6 +73,7 @@ def test_eval_step_metrics(model_and_states, rng):
     assert np.isfinite(float(out["ssim_forward"]))
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(model_and_states, tmp_path):
     model, states = model_and_states
     save_checkpoint(str(tmp_path), 7, states)
@@ -82,6 +84,7 @@ def test_checkpoint_roundtrip(model_and_states, tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_data_parallel_train_step(rng):
     """The DDP-equivalent: batch sharded over the 8-device CPU mesh
     (SURVEY.md §2.1: DP via sharded batch dim + automatic grad all-reduce)."""

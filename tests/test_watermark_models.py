@@ -15,6 +15,7 @@ def _imgs_msgs(rng, b=2, s=32, ml=8):
     return imgs, msgs
 
 
+@pytest.mark.slow
 def test_hidden_train_step(rng):
     model = HiddenModel(message_length=8, image_size=32, encoder_channels=8,
                         encoder_blocks=2, decoder_channels=8, decoder_blocks=3,
@@ -48,6 +49,7 @@ def test_hidden_infer_with_noise(rng):
     assert not np.allclose(np.asarray(enc), np.asarray(noised))
 
 
+@pytest.mark.slow
 def test_mbrs_train_step(rng):
     model = MBRSModel(image_size=32, message_length=8, channels=8, blocks=1,
                       diffusion_length=64)

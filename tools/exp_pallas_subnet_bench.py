@@ -20,11 +20,14 @@ def main():
         fused_res_subnet, res_subnet_reference)
 
     rng = np.random.default_rng(0)
-    cases = [  # (label, B, H, Cin, F, Cout) — st-subnet shapes in the embed
+    import sys as _sys
+    all_cases = [  # (label, B, H, Cin, F, Cout) — st-subnet shapes in the embed
         ("down1 st (48ch @128^2)", 32, 128, 24, 64, 48),
         ("down2 st (192ch @64^2)", 32, 64, 96, 64, 192),
         ("down3 st (768ch @32^2)", 32, 32, 384, 64, 768),
     ]
+    sel = [int(a) for a in _sys.argv[1:]] or list(range(len(all_cases)))
+    cases = [all_cases[i] for i in sel]
     for label, b, hw, cin, f, cout in cases:
         shapes = [(3, 3, cin, f), (3, 3, f, f), (3, 3, f, f), (3, 3, f, f),
                   (3, 3, cin + f, cout)]
@@ -34,7 +37,7 @@ def main():
                    for s in shapes)
         x = jnp.asarray(rng.standard_normal((b, hw, hw, cin)).astype(np.float32))
 
-        def bench(fn, steps=30):
+        def bench(fn, steps=10):
             g = jax.jit(lambda xx: jnp.mean(
                 fn(xx, ws, bs).astype(jnp.float32)))
             o = g(x)

@@ -41,8 +41,10 @@ def attack_pool_video(key, video, ratios=None):
     def per_frame(k, frame):
         ks = jax.random.split(k, 4)
         alpha = jax.nn.softmax(jax.random.normal(ks[3], (ATTACK_POOL_SIZE,)))
-        a0 = (resize_roundtrip(ks[0], frame) if ratios is None
-              else resize_roundtrip(ks[0], frame, ratios=ratios))
+        prec = jax.lax.Precision.DEFAULT  # attack path: bf16 MXU passes
+        a0 = (resize_roundtrip(ks[0], frame, precision=prec) if ratios is None
+              else resize_roundtrip(ks[0], frame, ratios=ratios,
+                                    precision=prec))
         # "strong" + "weak" pool draws, fused: one DCT/IDCT, coefficients
         # mixed by (α1, α2) — exactly α1·jpeg₁ + α2·jpeg₂ (see jpeg_pool_pair)
         a_jpeg = jpeg_pool_pair(ks[1], ks[2], frame, alpha[1], alpha[2])

@@ -163,7 +163,8 @@ def jpeg_pool(key, img, qualities=(50, 60, 70, 80, 90)):
 
     x = img * 255.0
     yuv = color.rgb_to_yuv_jpegbasic(x)
-    coeff = dct_ops.dct8x8(jnp.moveaxis(yuv, -1, -3))
+    prec = jax.lax.Precision.DEFAULT  # attack-pool draw: bf16 MXU passes
+    coeff = dct_ops.dct8x8(jnp.moveaxis(yuv, -1, -3), precision=prec)
     h, w = x.shape[-3], x.shape[-2]
     qy = jnp.clip(jnp.round(Y_TABLE * scale), 1.0, None)
     qc = jnp.clip(jnp.round(C_TABLE * scale), 1.0, None)
@@ -174,7 +175,7 @@ def jpeg_pool(key, img, qualities=(50, 60, 70, 80, 90)):
     mc = jnp.zeros((8, 8)).at[:3, :3].set(1.0)
     zmask = jnp.stack([_tile_table(my, h, w)] + [_tile_table(mc, h, w)] * 2, axis=0)
     out_coeff = jnp.where(mode == 2, coeff * zmask, quantized)
-    out = dct_ops.idct8x8(out_coeff)
+    out = dct_ops.idct8x8(out_coeff, precision=prec)
     rgb = color.yuv_to_rgb_jpegbasic(jnp.moveaxis(out, -3, -1))
     return rgb / 255.0
 
@@ -192,7 +193,8 @@ def jpeg_pool_pair(key1, key2, img, w1, w2, qualities=(50, 60, 70, 80, 90)):
     DCT+IDCT+2×color per frame (≈40% of the pool's FLOPs)."""
     x = img * 255.0
     yuv = color.rgb_to_yuv_jpegbasic(x)
-    coeff = dct_ops.dct8x8(jnp.moveaxis(yuv, -1, -3))
+    prec = jax.lax.Precision.DEFAULT  # attack-pool draw: bf16 MXU passes
+    coeff = dct_ops.dct8x8(jnp.moveaxis(yuv, -1, -3), precision=prec)
     h, w = x.shape[-3], x.shape[-2]
     qs = jnp.asarray(qualities, dtype=jnp.float32)
     my = jnp.zeros((8, 8)).at[:5, :5].set(1.0)
@@ -216,7 +218,7 @@ def jpeg_pool_pair(key1, key2, img, w1, w2, qualities=(50, 60, 70, 80, 90)):
 
     wsum = w1 + w2
     mixed = (w1 * draw(key1) + w2 * draw(key2)) / wsum
-    out = dct_ops.idct8x8(mixed)
+    out = dct_ops.idct8x8(mixed, precision=prec)
     rgb = color.yuv_to_rgb_jpegbasic(jnp.moveaxis(out, -3, -1))
     return wsum * rgb / 255.0
 

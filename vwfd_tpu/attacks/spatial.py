@@ -35,17 +35,18 @@ def make_resize_roundtrip_pool(size: int, ratios=DEFAULT_RATIOS,
     return np.stack(mats).astype(np.float32)  # numpy: lru_cache-safe under traces
 
 
-def resize_roundtrip(key, img, ratios=DEFAULT_RATIOS, method: str = "bicubic"):
-    """Random-ratio bicubic down/up round trip + clamp (noise_layers/resize.py)."""
+def resize_roundtrip(key, img, ratios=DEFAULT_RATIOS, method: str = "bicubic",
+                     precision=None):
+    """Random-ratio bicubic down/up round trip + clamp (noise_layers/resize.py).
+    `precision=None` → HIGHEST; the video attack pool passes DEFAULT (bf16)."""
     h, w = img.shape[-3], img.shape[-2]
     mh = make_resize_roundtrip_pool(h, ratios, method)
     mw = mh if w == h else make_resize_roundtrip_pool(w, ratios, method)
     idx = jax.random.randint(key, (), 0, len(ratios))
     a, b = jnp.asarray(mh)[idx], jnp.asarray(mw)[idx]
-    out = jnp.einsum("oh,...hwc->...owc", a, img,
-                     precision=jax.lax.Precision.HIGHEST)
-    out = jnp.einsum("pw,...owc->...opc", b, out,
-                     precision=jax.lax.Precision.HIGHEST)
+    prec = precision if precision is not None else jax.lax.Precision.HIGHEST
+    out = jnp.einsum("oh,...hwc->...owc", a, img, precision=prec)
+    out = jnp.einsum("pw,...owc->...opc", b, out, precision=prec)
     return jnp.clip(out, 0.0, 1.0)
 
 

@@ -131,7 +131,14 @@ class RNVPCoupling(nn.Module):
     def setup(self):
         split1 = self.channels // 2
         split2 = self.channels - split1
-        sub = _SUBNETS[self.subnet]
+        subnet = self.subnet
+        if subnet == "res_pallas" and self.channels >= 256:
+            # hybrid: the deepest (widest-channel) couplings keep XLA's conv —
+            # at 768ch/32² the N=768 GEMMs already fill the MXU and the fused
+            # kernel's small-M tiles lose; the param tree is identical either
+            # way so checkpoints are unaffected
+            subnet = "res"
+        sub = _SUBNETS[subnet]
         kw = {}
         if self.width:
             kw = ({"feature": self.width} if self.subnet.startswith("res")

@@ -32,6 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _HALO = 5   # one pixel per conv in the 5-conv chain
 _WHALO = 8  # W-side halo rounded up: DMA slice widths need 8-alignment
+_IM2COL = True  # im2col GEMMs (scratch stores); False = 9 shifted dots (compiles too slowly on the remote helper)
 
 
 def _cinp(cin: int) -> int:
@@ -61,7 +62,7 @@ def _conv3x3_tile(t, w, b, *, elu: bool):
     ht, wt, cin = t.shape
     cout = w.shape[-1]
     ho, wo = ht - 2, wt - 2
-    if cin < 128:
+    if _IM2COL and cin < 128:
         cinp = _cinp(cin)
         assert w.ndim == 2 and w.shape[0] == 9 * cinp, (w.shape, cin)
 
@@ -83,6 +84,8 @@ def _conv3x3_tile(t, w, b, *, elu: bool):
         acc = pl.run_scoped(
             build_and_dot, pltpu.VMEM((ho, wo, 9 * cinp), jnp.bfloat16))
     else:
+        if w.ndim == 2:  # host packed for im2col; unpack view for the dots
+            w = w.reshape(3, 3, w.shape[0] // 9, cout)
         acc = jnp.zeros((ho, wo, cout), jnp.float32)
         for dy in range(3):
             for dx in range(3):
@@ -182,7 +185,8 @@ def fused_res_subnet(x, weights, biases, interpret: bool = False):
     # conv5 enters as two kernels (x-part / h-part) — see _subnet_kernel;
     # small-Cin kernels are packed host-side into im2col GEMM matrices.
     raw = [w1, weights[1], weights[2], weights[3], w5x, w5h]
-    packed = [wk if wk.shape[2] >= 128 else pack_conv_matrix(wk) for wk in raw]
+    packed = [pack_conv_matrix(wk) if _IM2COL and wk.shape[2] < 128 else wk
+              for wk in raw]
     wlist = [packed[0], biases[0], packed[1], biases[1], packed[2],
              biases[2], packed[3], biases[3], packed[4], packed[5], biases[4]]
     wb = [a.astype(jnp.float32) if a.ndim == 1 else a.astype(jnp.bfloat16)

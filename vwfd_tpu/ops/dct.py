@@ -52,7 +52,7 @@ def block_merge(x):
     return x.reshape(*lead, hb * k, wb * k)
 
 
-def dct8x8(x, center: bool = False):
+def dct8x8(x, center: bool = False, precision=None):
     """Blockwise 2-D DCT of a (..., H, W) array (H, W multiples of 8).
 
     `center=True` subtracts 128 first (utils/JPEG.py:204 semantics);
@@ -62,25 +62,25 @@ def dct8x8(x, center: bool = False):
         x = x - 128.0
     h, w = x.shape[-2], x.shape[-1]
     dh, dw = _blockdiag_dct(h), _blockdiag_dct(w)
+    prec = precision if precision is not None else jax.lax.Precision.HIGHEST
     out = jnp.einsum("ij,...jk->...ik", dh, x,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                     preferred_element_type=jnp.float32, precision=prec)
     out = jnp.einsum("...ik,lk->...il", out, dw,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                     preferred_element_type=jnp.float32, precision=prec)
     return out
 
 
-def idct8x8(x, center: bool = False):
-    """Inverse blockwise 2-D DCT; `center=True` adds 128 back."""
+def idct8x8(x, center: bool = False, precision=None):
+    """Inverse blockwise 2-D DCT; `center=True` adds 128 back.
+    `precision=None` → HIGHEST (golden parity); attack pools pass DEFAULT
+    (bf16 MXU passes — the distortion layer tolerates it, ~3-6x faster)."""
     h, w = x.shape[-2], x.shape[-1]
     dh, dw = _blockdiag_dct(h), _blockdiag_dct(w)
+    prec = precision if precision is not None else jax.lax.Precision.HIGHEST
     out = jnp.einsum("ji,...jk->...ik", dh, x,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                     preferred_element_type=jnp.float32, precision=prec)
     out = jnp.einsum("...ik,kl->...il", out, dw,
-                     preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                     preferred_element_type=jnp.float32, precision=prec)
     if center:
         out = out + 128.0
     return out
