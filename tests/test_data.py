@@ -92,3 +92,19 @@ def test_native_line_raster():
     native.draw_thick_line(m, 5, 5, 40, 40, 3)
     assert m.sum() > 100
     assert m.max() == 1.0
+
+
+def test_image_io_augmentations(rng):
+    """8-fold dihedral augs + crop-to-multiple (utils/image_io.py rebuilds)."""
+    from vwfd_tpu.utils.images import (
+        create_augmentations, create_video_augmentations, crop_to_multiple)
+    img = rng.random((37, 45, 3)).astype("float32")
+    augs = create_augmentations(img)
+    assert len(augs) == 8
+    assert {a.shape for a in augs} == {(37, 45, 3), (45, 37, 3)}
+    np.testing.assert_allclose(augs[0], img)
+    vid = rng.random((2, 16, 20, 3)).astype("float32")
+    vaugs = create_video_augmentations(vid)
+    assert len(vaugs) == 8 and vaugs[1].shape == (2, 20, 16, 3)
+    c = crop_to_multiple(img, 32)
+    assert c.shape == (32, 32, 3)

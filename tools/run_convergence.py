@@ -51,47 +51,82 @@ def main():
         ds = DavisVideoDataset(args.root, size=args.size, frames=args.frames)
         source = "davis"
     else:
-        from vwfd_tpu.data import SyntheticVideoDataset
-        ds = SyntheticVideoDataset(size=args.size, frames=args.frames,
-                                   length=512, seed=0)
+        # Generate synthetic DAVIS-like clips ON DEVICE: host generation
+        # (~0.5 s/batch) or uploading a cached set (~16 MB/step, or a one-off
+        # 1.6 GB) through the axon tunnel dominates the run otherwise.
+        ds = None
         source = "synthetic"
-    loader = Loader(ds, args.batch, seed=0)
     model = VideoWatermarkModel(cfg)
     key = jax.random.PRNGKey(0)
     key, k0 = jax.random.split(key)
     states = model.init_states(k0)
+
+    def batches():
+        if ds is not None:  # real dataset: host loader
+            loader = Loader(ds, args.batch, seed=0)
+            while True:
+                for video, mask in loader:
+                    yield jnp.asarray(video), jnp.asarray(mask)
+        else:  # on-device synthetic generator (zero host IO per step)
+            from vwfd_tpu.ops.resize import resize_bilinear
+            from vwfd_tpu.attacks.spatial import rect_mask
+
+            s, t, b = args.size, args.frames, args.batch
+
+            @jax.jit
+            def gen(k):
+                k1, k2, k3, k4 = jax.random.split(k, 4)
+                # smooth "natural" content: bilinear-upsampled coarse noise
+                # plus a slowly-drifting per-frame offset (video-like motion)
+                coarse = jax.random.uniform(k1, (b, 1, 16, 16, 3))
+                drift = 0.05 * jax.random.normal(k2, (b, t, 1, 1, 3))
+                video = jnp.clip(
+                    resize_bilinear(coarse, (s, s)) + drift, 0.0, 1.0)
+                video = jnp.broadcast_to(video, (b, t, s, s, 3))
+                # tamper mask: random rectangle per sample (rate < ~0.2)
+                h0 = jax.random.uniform(k3, (b, 2)) * (0.7 * s)
+                sz = 0.15 * s + jax.random.uniform(k4, (b, 2)) * (0.25 * s)
+                m = jax.vmap(lambda a, z: rect_mask(
+                    (s, s), (a[0], a[0] + z[0], a[1], a[1] + z[1])))(h0, sz)
+                mask = jnp.broadcast_to(m[:, None, :, :, None],
+                                        (b, t, s, s, 1))
+                return video, mask
+
+            k = jax.random.PRNGKey(1234)
+            while True:
+                k, kk = jax.random.split(k)
+                yield gen(kk)
 
     out_path = args.out or f"/tmp/convergence_{args.criterion}.jsonl"
     f = open(out_path, "w")
     prev = None
     step = 0
     t0 = time.time()
+    gen = batches()
     while step < args.steps:
-        for video, mask in loader:
-            if step >= args.steps:
-                break
-            batch = VideoBatch(jnp.asarray(video), jnp.asarray(mask))
-            if prev is None:
-                prev = batch.video
-                continue
-            key, k = jax.random.split(key)
-            states, logs = model.train_step(states, batch, prev, k)
-            step += 1
-            if step % 20 == 0 or step == 1:
-                rec = {"step": step, "criterion": args.criterion,
-                       "source": source,
-                       **{kk: float(v) for kk, v in logs.items()}}
-                if step % args.eval_every == 0 or step == args.steps:
-                    key, ke = jax.random.split(key)
-                    ev = model.eval_step(states, batch, prev, ke)
-                    rec.update(psnr_forward=float(ev["psnr_forward"]),
-                               ssim_forward=float(ev["ssim_forward"]),
-                               f1_best=float(ev["f1_best"]))
-                rec["wall_s"] = round(time.time() - t0, 1)
-                f.write(json.dumps(rec) + "\n")
-                f.flush()
-                print(rec)
+        video, mask = next(gen)
+        batch = VideoBatch(video, mask)
+        if prev is None:
             prev = batch.video
+            continue
+        key, k = jax.random.split(key)
+        states, logs = model.train_step(states, batch, prev, k)
+        step += 1
+        if step % 20 == 0 or step == 1:
+            rec = {"step": step, "criterion": args.criterion,
+                   "source": source,
+                   **{kk: float(v) for kk, v in logs.items()}}
+            if step % args.eval_every == 0 or step == args.steps:
+                key, ke = jax.random.split(key)
+                ev = model.eval_step(states, batch, prev, ke)
+                rec.update(psnr_forward=float(ev["psnr_forward"]),
+                           ssim_forward=float(ev["ssim_forward"]),
+                           f1_best=float(ev["f1_best"]))
+            rec["wall_s"] = round(time.time() - t0, 1)
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            print(rec)
+        prev = batch.video
     f.close()
     print("wrote", out_path)
 

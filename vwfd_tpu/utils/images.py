@@ -44,3 +44,36 @@ def save_image(img01, path):
     if arr.shape[-1] == 1:
         arr = arr[..., 0]
     Image.fromarray(arr).save(path)
+
+
+def crop_to_multiple(img, d: int = 32):
+    """Center-crop (H, W, C) or (B, H, W, C) so H and W divide `d`
+    (utils/image_io.py:13-56 crop_image/crop_np_image family, NHWC)."""
+    h, w = img.shape[-3], img.shape[-2]
+    nh, nw = (h // d) * d, (w // d) * d
+    y0, x0 = (h - nh) // 2, (w - nw) // 2
+    return img[..., y0:y0 + nh, x0:x0 + nw, :]
+
+
+def create_augmentations(img):
+    """8-fold dihedral augmentations of an (H, W, C) image — convention
+    original, rot90×{1,2,3}, flip, flip∘rot90×{1,2,3}
+    (utils/image_io.py:160-171, axes adapted to HWC)."""
+    import numpy as np
+    img = np.asarray(img)
+    aug = [img.copy()] + [np.rot90(img, k, (0, 1)).copy() for k in (1, 2, 3)]
+    flipped = img[:, ::-1].copy()
+    aug += [flipped] + [np.rot90(flipped, k, (0, 1)).copy() for k in (1, 2, 3)]
+    return aug
+
+
+def create_video_augmentations(video):
+    """Same 8-fold augmentations applied per clip, (T, H, W, C)
+    (utils/image_io.py:173-185)."""
+    import numpy as np
+    video = np.asarray(video)
+    aug = [video.copy()] + [np.rot90(video, k, (1, 2)).copy()
+                            for k in (1, 2, 3)]
+    flipped = video[:, :, ::-1].copy()
+    aug += [flipped] + [np.rot90(flipped, k, (1, 2)).copy() for k in (1, 2, 3)]
+    return aug
