@@ -102,3 +102,19 @@ def test_hidden_pipeline(rng):
                                         mutable=["batch_stats"])
     assert enc.shape == img.shape
     assert dec.shape == msg.shape
+
+
+def test_unet_fast_upsample_matches_convtranspose(rng):
+    """The 1×1-GEMM + depth-to-space upsample equals nn.ConvTranspose
+    (2×2, stride 2) with the SAME param tree — checkpoints interchange."""
+    from vwfd_tpu.nets.unet import UNet
+    x = jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32))
+    slow = UNet(init_features=4, fast_upsample=False)
+    fast = UNet(init_features=4, fast_upsample=True)
+    v = slow.init(jax.random.PRNGKey(0), x, train=False)
+    vf = fast.init(jax.random.PRNGKey(0), x, train=False)
+    assert (jax.tree_util.tree_structure(v) ==
+            jax.tree_util.tree_structure(vf))
+    ref = np.asarray(slow.apply(v, x, train=False))
+    got = np.asarray(fast.apply(v, x, train=False))
+    np.testing.assert_allclose(got, ref, atol=1e-5)

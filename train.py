@@ -103,7 +103,11 @@ def _image_loop(cfg, mesh, args, key, task):
             return img, canny[..., None], mask[..., None]
 
     loader = Loader(_Wrapped(), dcfg.batch_size, seed=cfg.train.seed)
-    model = ImageImmunizationModel(cfg, task=task)
+    model = ImageImmunizationModel(cfg, task=task,
+                                   with_jpeg_simulator=args.jpeg_simulator)
+    # real-libjpeg pairs for the simulator (IRN_model.py:735-760 recipe):
+    # host-side PIL compression of the clean batch at a random drawn QF
+    from vwfd_tpu.attacks.jpeg import jpeg_real
     key, k0 = jax.random.split(key)
     states = model.init_states(k0)
     steps = args.steps or cfg.train.niter
@@ -120,7 +124,14 @@ def _image_loop(cfg, mesh, args, key, task):
                 prev = batch.image
                 continue
             key, k = jax.random.split(key)
-            states, logs = model.train_step(states, batch, prev, k)
+            if args.jpeg_simulator:
+                q = int(rng.choice([50, 60, 70, 80, 90]))
+                pair = (jnp.asarray(jpeg_real(img, q)),
+                        jnp.full((img.shape[0],), q / 100.0, jnp.float32))
+                states, logs = model.train_step(states, batch, prev, k,
+                                                jpeg_pair=pair)
+            else:
+                states, logs = model.train_step(states, batch, prev, k)
             prev = batch.image
             step += 1
             pb.add(1, values=[(k2, float(v)) for k2, v in logs.items()])
@@ -237,6 +248,10 @@ def main():
     ap.add_argument("--val", action="store_true", help="run evaluation")
     ap.add_argument("--synthetic", action="store_true")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--jpeg-simulator", dest="jpeg_simulator",
+                    action="store_true",
+                    help="co-train the FBCNN JPEG simulator against real "
+                         "libjpeg pairs (IRN_model.py:735-760)")
     args = ap.parse_args()
 
     import jax

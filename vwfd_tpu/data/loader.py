@@ -56,10 +56,16 @@ class Loader:
         n_batches = n // self.batch_size
 
         def worker():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                for b in range(n_batches):
-                    idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-                    q.put(self._make_batch(idxs, pool))
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for b in range(n_batches):
+                        idxs = order[b * self.batch_size:
+                                     (b + 1) * self.batch_size]
+                        q.put(self._make_batch(idxs, pool))
+            except RuntimeError:
+                # interpreter shutdown while prefetching (consumer stopped
+                # early / process exiting): drop the remaining batches quietly
+                pass
             q.put(None)
 
         t = threading.Thread(target=worker, daemon=True)

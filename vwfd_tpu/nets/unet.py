@@ -25,11 +25,32 @@ class _DoubleConv(nn.Module):
         return x
 
 
+class _UpParams(nn.Module):
+    """Declares the exact nn.ConvTranspose param tree ({kernel, bias}) so the
+    fast-upsample GEMM path interchanges checkpoints with the reference
+    layout."""
+    cin: int
+    feats: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (2, 2, self.cin, self.feats))
+        b = self.param("bias", nn.initializers.zeros, (self.feats,))
+        return k, b
+
+
 class UNet(nn.Module):
     out_channels: int = 1
     init_features: int = 32
     apply_sigmoid: bool = True
     dtype: object = None  # compute dtype; params/output stay f32
+    # Evaluate the 2×2/s2 ConvTranspose as ONE 1×1 GEMM (Cin → 4·Cout) +
+    # depth-to-space — EXACTLY the same operator, same param tree,
+    # golden-tested vs nn.ConvTranspose. MEASURED SLOWER in the r2 pipeline
+    # (1768 vs 1941 fps: the depth-to-space reshuffle breaks XLA fusion), so
+    # the default stays on XLA's ConvTranspose lowering.
+    fast_upsample: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -46,8 +67,23 @@ class UNet(nn.Module):
             nn.max_pool(enc4, (2, 2), (2, 2)), train)
 
         def up(z, feats, name):
-            return nn.ConvTranspose(feats, (2, 2), strides=(2, 2),
-                                    dtype=dt, name=name)(z)
+            if not self.fast_upsample:
+                return nn.ConvTranspose(feats, (2, 2), strides=(2, 2),
+                                        dtype=dt, name=name)(z)
+            cin = z.shape[-1]
+            kern, bias = _UpParams(cin, feats, name=name)()
+            # flax ConvTranspose applies the kernel spatially FLIPPED:
+            # out[2i+di, 2j+dj, o] = z[i,j] @ K[1-di, 1-dj, :, o]. One GEMM
+            # with column order (o, di, dj), then o-major depth-to-space.
+            w2 = kern[::-1, ::-1].transpose(2, 3, 0, 1).reshape(cin, feats * 4)
+            if dt is not None:
+                z, w2 = z.astype(dt), w2.astype(dt)
+            h = z @ w2
+            b, hh, ww, _ = h.shape
+            h = h.reshape(b, hh, ww, feats, 2, 2)
+            h = h.transpose(0, 1, 4, 2, 5, 3)
+            h = h.reshape(b, hh * 2, ww * 2, feats)
+            return h + bias.astype(h.dtype)
 
         d4 = _DoubleConv(f * 8, dtype=dt, name="dec4")(
             jnp.concatenate([up(bott, f * 8, "up4"), enc4], -1), train)
