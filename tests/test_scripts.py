@@ -91,3 +91,91 @@ def test_victims_and_targeted_igsm(rng):
     advp = adv.igsm_targeted(loss, x[0], epsilon=0.1, step_size=0.02)
     after = float(loss(advp))
     assert after < before
+
+
+def test_offline_scripts_roundtrip(tmp_path, rng, monkeypatch):
+    """compose_splice + extract_masks + calculate_f1 offline pipeline
+    (models/test.py:24-40, mask.py:5-70, calculate_f1.py:41-72)."""
+    src = tmp_path / "src"; tgt = tmp_path / "tgt"; msk = tmp_path / "msk"
+    out = tmp_path / "out"; pred = tmp_path / "pred"
+    for d in (src, tgt, msk, pred):
+        d.mkdir()
+    for i in range(2):
+        cv2.imwrite(str(src / f"{i}.png"),
+                    (rng.random((32, 32, 3)) * 255).astype(np.uint8))
+        cv2.imwrite(str(tgt / f"{i}.png"),
+                    (rng.random((32, 32, 3)) * 255).astype(np.uint8))
+        m = np.zeros((32, 32), np.uint8); m[8:20, 8:20] = 255
+        cv2.imwrite(str(msk / f"{i}.png"), m)
+        # predicted mask = GT with a bit of noise
+        p = m.astype(np.float32) + rng.normal(0, 10, (32, 32))
+        cv2.imwrite(str(pred / f"{i}.png"), np.clip(p, 0, 255).astype(np.uint8))
+
+    mod = _load("compose_splice")
+    monkeypatch.setattr(sys, "argv", [
+        "compose_splice.py", "--source", str(src), "--target", str(tgt),
+        "--mask", str(msk), "--out", str(out)])
+    mod.main()
+    assert sorted(os.listdir(out)) == ["0.png", "1.png"]
+    comp = cv2.imread(str(out / "0.png"))
+    t0 = cv2.imread(str(tgt / "0.png"))
+    # outside the mask the composite equals the target
+    assert np.array_equal(comp[:8], t0[:8])
+
+    # extract_masks recovers the tampered region from |before-after|
+    em = _load("extract_masks")
+    mout = tmp_path / "extracted"
+    monkeypatch.setattr(sys, "argv", [
+        "extract_masks.py", "--before", str(tgt), "--after", str(out),
+        "--out", str(mout)])
+    em.main()
+    got = cv2.imread(str(mout / "0.png"), cv2.IMREAD_GRAYSCALE)
+    assert got is not None and got.shape == (32, 32)
+
+    # F1 sweep scores predicted vs GT masks
+    f1 = _load("calculate_f1")
+    monkeypatch.setattr(sys, "argv", [
+        "calculate_f1.py", "--pred", str(pred), "--gt", str(msk)])
+    f1.main()
+
+
+def test_evaluate_images_psnr_ssim(tmp_path, rng, monkeypatch):
+    """evaluate_images: PSNR/SSIM (+Y-channel) folder scorer (test.py:55-167)."""
+    gt = tmp_path / "gt"; pr = tmp_path / "pr"
+    gt.mkdir(); pr.mkdir()
+    for i in range(2):
+        img = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(gt / f"{i}.png"), img)
+        noisy = np.clip(img.astype(np.int32) +
+                        rng.integers(-6, 7, img.shape), 0, 255)
+        cv2.imwrite(str(pr / f"{i}.png"), noisy.astype(np.uint8))
+    mod = _load("evaluate_images")
+    monkeypatch.setattr(sys, "argv", [
+        "evaluate_images.py", "--gt", str(gt), "--pred", str(pr)])
+    mod.main()
+
+
+@pytest.mark.slow
+def test_evaluate_realworld_folder_protocol(tmp_path, rng, monkeypatch):
+    """evaluate_realworld: the train.py -val folder protocol end-to-end on a
+    tiny synthetic folder set (IRNclr_model.evaluate:765-905)."""
+    import pytest as _pytest
+    ori = tmp_path / "ori"; tam = tmp_path / "tamper"; msk = tmp_path / "mask"
+    out = tmp_path / "out"
+    for d in (ori, tam, msk):
+        d.mkdir()
+    for i in range(2):
+        cv2.imwrite(str(ori / f"{i}.png"),
+                    (rng.random((40, 40, 3)) * 255).astype(np.uint8))
+        cv2.imwrite(str(tam / f"{i}.png"),
+                    (rng.random((40, 40, 3)) * 255).astype(np.uint8))
+        m = np.zeros((40, 40), np.uint8); m[10:25, 10:25] = 255
+        cv2.imwrite(str(msk / f"{i}.png"), m)
+    mod = _load("evaluate_realworld")
+    monkeypatch.setattr(sys, "argv", [
+        "evaluate_realworld.py", "--ckpt", str(tmp_path / "no_ckpt"),
+        "--ori", str(ori), "--tamper", str(tam), "--mask", str(msk),
+        "--out", str(out), "--size", "32"])
+    mod.main()
+    assert sorted(os.listdir(out / "recovered")) == ["0.png", "1.png"]
+    assert sorted(os.listdir(out / "predicted_masks")) == ["0.png", "1.png"]

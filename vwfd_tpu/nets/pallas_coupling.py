@@ -32,7 +32,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 _HALO = 5   # one pixel per conv in the 5-conv chain
 _WHALO = 8  # W-side halo rounded up: DMA slice widths need 8-alignment
-_IM2COL = True  # im2col GEMMs (scratch stores); False = 9 shifted dots (compiles too slowly on the remote helper)
+# Small-Cin conv strategy:
+#   "dxgroup" — 3 GEMMs (K = 3·Cin), one per dx column shift: the 3 dy-shifted
+#               slices per group share their SUBLANE offset (dy moves the
+#               untiled H dim), so Mosaic lane-concat is legal and NO scratch
+#               stores are needed.
+#   "scratch" — one GEMM (K = 9·cinp) via offset stores into a VMEM scratch.
+#   "dots"    — 9 shifted dots (compiles too slowly on the remote helper).
+_IM2COL = "dxgroup"
 
 
 def _cinp(cin: int) -> int:
@@ -42,12 +49,12 @@ def _cinp(cin: int) -> int:
 
 def pack_conv_matrix(w):
     """Host-side: (3, 3, Cin, Cout) conv kernel → (9·cinp, Cout) im2col GEMM
-    matrix with zero rows in the per-tap channel-padding gaps (the kernel
-    writes each shifted slice at lane offset k·cinp)."""
+    matrix, DX-MAJOR row order (dx, dy, c) with zero rows in any per-tap
+    channel-padding gap — matches both the dxgroup and scratch kernel paths."""
     kh, kw, cin, cout = w.shape
     cinp = _cinp(cin)
     wp = jnp.pad(w, ((0, 0), (0, 0), (0, cinp - cin), (0, 0)))
-    return wp.reshape(kh * kw * cinp, cout)
+    return wp.transpose(1, 0, 2, 3).reshape(kw * kh * cinp, cout)
 
 
 def _conv3x3_tile(t, w, b, *, elu: bool):
@@ -62,7 +69,21 @@ def _conv3x3_tile(t, w, b, *, elu: bool):
     ht, wt, cin = t.shape
     cout = w.shape[-1]
     ho, wo = ht - 2, wt - 2
-    if _IM2COL and cin < 128:
+    if _IM2COL == "dxgroup" and cin < 128 and cin % 64 == 0:
+        # one GEMM per dx: lane-concat the 3 dy slices (same sublane offset —
+        # dy indexes the untiled H dim), K = 3·Cin per GEMM, zero scratch.
+        assert w.ndim == 2 and w.shape[0] == 9 * cin, (w.shape, cin)
+        w3 = w.reshape(3, 3 * cin, cout)  # [dy-groups packed per dx below]
+        acc = jnp.zeros((ho * wo, cout), jnp.float32)
+        for dx in range(3):
+            cols = jnp.concatenate(
+                [t[dy:dy + ho, dx:dx + wo, :] for dy in range(3)], axis=-1)
+            acc = acc + jax.lax.dot_general(
+                cols.reshape(ho * wo, 3 * cin), w3[dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        acc = acc.reshape(ho, wo, cout)
+    elif _IM2COL and cin < 128:
         cinp = _cinp(cin)
         assert w.ndim == 2 and w.shape[0] == 9 * cinp, (w.shape, cin)
 
@@ -72,8 +93,8 @@ def _conv3x3_tile(t, w, b, *, elu: bool):
         def build_and_dot(cols_ref):
             if cinp != cin:
                 cols_ref[:] = jnp.zeros((ho, wo, 9 * cinp), jnp.bfloat16)
-            for k, (dy, dx) in enumerate((dy, dx) for dy in range(3)
-                                         for dx in range(3)):
+            for k, (dx, dy) in enumerate((dx, dy) for dx in range(3)
+                                         for dy in range(3)):
                 cols_ref[:, :, k * cinp:k * cinp + cin] = \
                     t[dy:dy + ho, dx:dx + wo, :]
             return jax.lax.dot_general(
