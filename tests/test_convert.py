@@ -5,6 +5,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import torch
@@ -98,6 +99,7 @@ def test_netg_conversion_loads_and_runs(rng):
     assert float(jnp.abs(x_rec - x).max()) < 1e-3
 
 
+@pytest.mark.slow
 def test_unet_conversion_loads_and_runs(rng):
     f = 4
     sd = {}

@@ -11,6 +11,7 @@ import jax
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+@pytest.mark.slow
 def test_entry_compiles():
     import __graft_entry__ as g
     fn, args = g.entry()

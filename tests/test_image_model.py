@@ -42,6 +42,7 @@ def test_image_model_train_step(rng, task):
                for a, b in zip(before, after))
 
 
+@pytest.mark.slow
 def test_image_model_eval(rng):
     model = ImageImmunizationModel(TINY, task="pami", n_attacks=2,
                                    attack_ratios=(0.5, 1.0))

@@ -1,6 +1,7 @@
 """Metric/loss parity tests vs torch-implemented oracles of the reference formulas."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import torch
@@ -129,6 +130,7 @@ def test_exclusion_and_misc_losses(rng):
     assert np.isfinite(float(M.non_blurry_loss(a)))
 
 
+@pytest.mark.slow
 def test_perceptual_and_style_losses(rng):
     a = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))
     b = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))

@@ -1,12 +1,14 @@
 """Shape/finiteness tests for the MBRS and FBCNN families."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from vwfd_tpu import nets
 
 
+@pytest.mark.slow
 def test_mbrs_encoder_decoder_roundtrip_shapes(rng):
     h, msg_len = 64, 30
     enc = nets.MBRSEncoder(height=h, message_length=msg_len, channels=16,

@@ -68,6 +68,7 @@ def test_jpegadv_experiment_smoke(monkeypatch, tmp_path):
     assert all(np.isfinite(e["psnr_with_pic"]) for e in sweep["jpg_adv"])
 
 
+@pytest.mark.slow
 def test_victims_and_targeted_igsm(rng):
     """Victim CNNs forward; targeted IGSM moves logits toward the target."""
     import jax

@@ -33,6 +33,7 @@ def test_self_attention(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_edge_and_inpaint_generators(rng):
     x = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))
     eg = nets.EdgeGenerator(residual_blocks=1)
@@ -54,6 +55,7 @@ def test_normal_generator(rng):
     assert m.apply(v, x).shape == x.shape
 
 
+@pytest.mark.slow
 def test_legacy_inv_rescale_net_invertibility(rng):
     m = nets.InvRescaleNet(channel_in=3, down_num=2, block_num=(2, 2))
     x = jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32))
@@ -91,6 +93,7 @@ def test_bsr_wavelet_net(rng):
     assert float(out.min()) >= 0 and float(out.max()) <= 1
 
 
+@pytest.mark.slow
 def test_srmnet(rng):
     m = nets.SRMNet(out_channels=1, wf=8, depth=3)
     x = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))
@@ -99,6 +102,7 @@ def test_srmnet(rng):
     assert out.shape == (1, 32, 32, 1)
 
 
+@pytest.mark.slow
 def test_sunet_swin_unet(rng):
     m = nets.SUNet(out_channels=1, embed_dim=8, depths=(1, 1), num_heads=(2, 2),
                    window_size=4, apply_sigmoid=True)
@@ -118,6 +122,7 @@ def test_mantranet(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_attacknet(rng):
     m = nets.AttackNet(channels=3, down_num=2)
     x = jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32))
