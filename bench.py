@@ -37,6 +37,9 @@ def main():
                     help="compute dtype: bfloat16 | float32")
     ap.add_argument("--subnet", type=str, default="res",
                     help="INN coupling subnet: res (XLA) | res_pallas (fused kernel)")
+    ap.add_argument("--train", action="store_true",
+                    help="bench the full training step (fwd+attack+bwd+2×AdamW)"
+                         " instead of the inference pipeline")
     args = ap.parse_args()
 
     import jax
@@ -66,6 +69,31 @@ def main():
                  model=mc, train=TrainConfig(dtype=args.dtype))
     model = VideoWatermarkModel(cfg, attack_ratios=ratios)
     states = model.init_states(jax.random.PRNGKey(0))
+
+    if args.train:
+        from vwfd_tpu.models import VideoBatch
+        rng = np.random.default_rng(0)
+        tb = 16 if not args.tiny else batch
+        video = jnp.asarray(rng.random((tb, frames, size, size, 3), np.float32))
+        mask = jnp.asarray((rng.random((tb, frames, size, size, 1)) > 0.9)
+                           .astype(np.float32))
+        tbatch = VideoBatch(video, mask)
+        prev = jnp.clip(video + 0.05, 0, 1)
+        key = jax.random.PRNGKey(1)
+        states, logs = model.train_step(states, tbatch, prev, key)  # compile
+        _ = float(logs["loss"])
+        t0 = time.perf_counter()
+        for i in range(steps):
+            key, k = jax.random.split(key)
+            states, logs = model.train_step(states, tbatch, prev, k)
+        _ = float(logs["loss"])  # true sync (states chain serializes steps)
+        dt = time.perf_counter() - t0
+        fps = steps * tb * frames / dt
+        print(json.dumps({
+            "metric": "train_frames_per_sec_256",
+            "value": round(fps, 2), "unit": "frames/s",
+            "vs_baseline": round(fps / REFERENCE_GPU_FPS, 3)}))
+        return
 
     chunk = max(1, args.chunk)
 
