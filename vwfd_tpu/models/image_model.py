@@ -91,10 +91,14 @@ class ImageImmunizationModel:
         mc, tc = cfg.model, cfg.train
 
         # 4-ch INN (RGB + canny), PAMI composite (IRNp_model.py:158-171,
-        # IRNclr_model.py:151)
+        # IRNclr_model.py:151). bf16 compute = the TPU analog of the
+        # reference's fp16 AMP (IRNp runs under autocast); also what fits the
+        # 512² k-way reverse in one v5e's HBM (params/losses stay f32).
+        self.compute_dtype = (jnp.bfloat16 if tc.dtype == "bfloat16" else None)
         self.netG = InvertibleNet(channels=4, down_num=mc.inn_down_num,
                                   block_num=mc.inn_block_num,
-                                  subnet=mc.inn_subnet)
+                                  subnet=mc.inn_subnet,
+                                  dtype=self.compute_dtype)
         self.localizer = UNetDiscriminator(
             dim=mc.localizer_dim, residual_blocks=mc.localizer_residual_blocks,
             out_channels=1, use_sigmoid=True)
@@ -216,7 +220,9 @@ class ImageImmunizationModel:
                 tampered = jnp.where(use_cm, cm_tampered, splice)
                 mask = jnp.where(use_cm, cm_mask, mask)
         tampered = jnp.clip(tampered, 0.0, 1.0)
-        attacked = self._attack_fanout(k_atk, tampered)  # (k,B,H,W,3)
+        # remat: the k-copy attack fan-out's DCT/resize intermediates at 512²
+        # are pure recompute — don't keep them for backward
+        attacked = jax.checkpoint(self._attack_fanout)(k_atk, tampered)
         aux_sim = {}
         if self.with_jpeg_simulator:
             k_q, _ = jax.random.split(k_crop)
@@ -257,10 +263,15 @@ class ImageImmunizationModel:
         k = attacked.shape[0]
         flat = attacked.reshape(k * b, h, w, 3)
 
-        # ---- localizer (mask) on all attacked copies
-        pred_mask, loc_vars = self.localizer.apply(
-            {"params": params["localizer"], **states["localizer"].variables},
-            flat, update_sn=True, mutable=["spectral"])
+        # ---- localizer (mask) on all attacked copies (rematerialized: the
+        # kB-copy U-Net activations at 512² otherwise tip HBM over capacity)
+        def _localize(p, z):
+            return self.localizer.apply(
+                {"params": p, **states["localizer"].variables},
+                z, update_sn=True, mutable=["spectral"])
+
+        pred_mask, loc_vars = jax.checkpoint(_localize)(
+            params["localizer"], flat)
         pred_mask = pred_mask[0] if isinstance(pred_mask, tuple) else pred_mask
         gt_mask_exp = jnp.tile(mask, (k, 1, 1, 1))
         l_mask = l1_loss(pred_mask, gt_mask_exp)
@@ -301,9 +312,17 @@ class ImageImmunizationModel:
         rect_r = rectified[:n_rev * b]
         canny_rect = canny_soft(rect_r)
         rev_in = jnp.concatenate([rect_r, canny_rect], -1)
-        reversed_stuff, _ = self.netG.apply(
-            {"params": params["netG"], **states["netG"].variables},
-            rev_in, rev=True)
+
+        # jax.checkpoint: the k-way reverse at the reference's 512² would
+        # otherwise store every coupling activation for backward (measured
+        # 37 GB > 15.75 GB HBM on v5e at batch 3 ×6 copies); rematerializing
+        # the reverse chain trades cheap recompute for fitting on one chip.
+        def _reverse(p, z):
+            out, _ = self.netG.apply(
+                {"params": p, **states["netG"].variables}, z, rev=True)
+            return out
+
+        reversed_stuff = jax.checkpoint(_reverse)(params["netG"], rev_in)
         rev_rgb = jnp.clip(reversed_stuff[..., :3], 0.0, 1.0)
         rev_wm = jnp.clip(reversed_stuff[..., 3:], 0.0, 1.0)
         img_exp = jnp.tile(img, (n_rev, 1, 1, 1))
