@@ -37,6 +37,10 @@ def main():
                     help="compute dtype: bfloat16 | float32")
     ap.add_argument("--subnet", type=str, default="res",
                     help="INN coupling subnet: res (XLA) | res_pallas (fused kernel)")
+    ap.add_argument("--extractor", type=str, default="unet_tpu",
+                    help="tamper-mask extractor: unet_tpu (MXU-shaped "
+                         "redesign, flagship default — F1 parity shown in "
+                         "BASELINE.md r3) | unet (reference-exact)")
     ap.add_argument("--train", action="store_true",
                     help="bench the full training step (fwd+attack+bwd+2×AdamW)"
                          " instead of the inference pipeline")
@@ -61,7 +65,7 @@ def main():
         # SLOWER in-context (embed 83.6 vs 35.4 ms — BASELINE.md r2 table);
         # per-call micro-benches flattered it via dispatch pipelining. The
         # XLA subnet stays the bench default until the kernel wins in-context.
-        mc = ModelConfig(inn_subnet=args.subnet)
+        mc = ModelConfig(inn_subnet=args.subnet, extractor=args.extractor)
         ratios = None
 
     from vwfd_tpu.config import TrainConfig

@@ -77,8 +77,10 @@ def main():
                    os.path.join(args.out, "recovered", name))
         save_image(np.asarray(out["predicted_mask"][0]),
                    os.path.join(args.out, "predicted_masks", name))
-        print(name, "psnr_fw=%.2f f1=%.3f" % (
-            float(out["psnr_forward"]), float(out["f1_best"])))
+        per_attack = " ".join("%.3f" % float(v) for v in out["f1_per_attack"])
+        print(name, "psnr_fw=%.2f psnr_bw=%.2f f1=%.3f f1_per_attack=[%s]" % (
+            float(out["psnr_forward"]), float(out["psnr_backward"]),
+            float(out["f1_best"]), per_attack))
 
 
 if __name__ == "__main__":

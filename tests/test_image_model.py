@@ -201,3 +201,33 @@ def test_jpeg_simulator_real_pair(rng):
     after = jax.tree_util.tree_leaves(new_states["jpeg_sim"].params)
     assert any(not np.allclose(np.asarray(a), np.asarray(b))
                for a, b in zip(before, after))
+
+
+@pytest.mark.slow
+def test_image_data_parallel_train_step(rng):
+    """VERDICT r2 #2: the image family trains sharded over the 8-device CPU
+    mesh (mirrors test_video_model.py::test_data_parallel_train_step)."""
+    from vwfd_tpu.parallel import make_mesh, shard_batch
+
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(8)
+    model = ImageImmunizationModel(TINY, task="pami", n_attacks=2,
+                                   attack_ratios=(0.5, 1.0), mesh=mesh,
+                                   tamper_mode="splice")
+    states = model.init_states(jax.random.PRNGKey(0))
+    b, s = 8, 32
+    img = rng.random((b, s, s, 3), dtype=np.float32)
+    canny = (rng.random((b, s, s, 1)) > 0.9).astype(np.float32)
+    mask = np.zeros((b, s, s, 1), np.float32)
+    mask[:, 8:20, 8:20] = 1.0
+    img, canny, mask = shard_batch((img, canny, mask), mesh)
+    batch = ImageBatch(img, canny, mask)
+    prev = shard_batch(np.clip(np.asarray(img) + 0.05, 0, 1), mesh)
+    new_states, logs = model.train_step(states, batch, prev,
+                                        jax.random.PRNGKey(3))
+    assert np.isfinite(float(logs["loss"]))
+    # gradient sync: every device must hold identical updated params
+    leaf = jax.tree_util.tree_leaves(new_states["netG"].params)[0]
+    shards = [np.asarray(sh.data) for sh in leaf.addressable_shards]
+    for sh in shards[1:]:
+        np.testing.assert_allclose(shards[0], sh, atol=1e-6)

@@ -118,3 +118,30 @@ def test_unet_fast_upsample_matches_convtranspose(rng):
     ref = np.asarray(slow.apply(v, x, train=False))
     got = np.asarray(fast.apply(v, x, train=False))
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_unet_tpu_shapes_and_grads(rng):
+    """UNetTPU: output shape/range match UNet's contract; trains (finite
+    grads through BN in train mode)."""
+    import jax
+    import optax
+    from vwfd_tpu.nets import UNetTPU
+
+    net = UNetTPU(out_channels=1, init_features=8)
+    x = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    v = net.init(jax.random.PRNGKey(0), x)
+    y = net.apply(v, x, train=False)
+    assert y.shape == (2, 32, 32, 1)
+    assert y.dtype == jnp.float32
+    assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+
+    def loss(p):
+        out, _ = net.apply({"params": p, **{k: val for k, val in v.items()
+                                            if k != "params"}},
+                           x, train=True, mutable=["batch_stats"])
+        return jnp.mean((out - 0.5) ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    assert all(np.all(np.isfinite(np.asarray(l)))
+               for l in jax.tree_util.tree_leaves(g))
+    assert float(optax.global_norm(g)) > 0

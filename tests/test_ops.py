@@ -261,3 +261,50 @@ def test_flow_warp_zero_flow_identity(rng):
     x = jnp.asarray(rng.random((1, 6, 6, 2)).astype(np.float32))
     out = flow_warp(x, jnp.zeros((1, 6, 6, 2)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+
+# ---------------------------------------------------------------- morphology
+
+def _np_morph(mask, op):
+    """Numpy golden for the reference's 4-neighbor cross morphology
+    (noise_layers/__init__.py:24-64: center-excluded MF, edge padding;
+    we process the full image, not the reference's range(1,H) loop-bug)."""
+    p = np.pad(mask, 1, mode="edge")
+    neigh = np.stack([p[:-2, 1:-1], p[2:, 1:-1], p[1:-1, :-2], p[1:-1, 2:]])
+    if op == "dilate":
+        return np.maximum(mask, neigh.max(0))
+    return np.minimum(mask, neigh.min(0))
+
+
+def test_morphology_vs_numpy_golden(rng):
+    from vwfd_tpu.ops import dilate, erode, opening, closing
+    m = (rng.random((13, 17)) > 0.6).astype(np.float32)
+
+    np.testing.assert_array_equal(np.asarray(dilate(jnp.asarray(m))),
+                                  _np_morph(m, "dilate"))
+    np.testing.assert_array_equal(np.asarray(erode(jnp.asarray(m))),
+                                  _np_morph(m, "erode"))
+    # iterated
+    ref2 = _np_morph(_np_morph(m, "dilate"), "dilate")
+    np.testing.assert_array_equal(np.asarray(dilate(jnp.asarray(m), 2)), ref2)
+    # open/close compositions
+    np.testing.assert_array_equal(
+        np.asarray(opening(jnp.asarray(m))),
+        _np_morph(_np_morph(m, "erode"), "dilate"))
+    np.testing.assert_array_equal(
+        np.asarray(closing(jnp.asarray(m))),
+        _np_morph(_np_morph(m, "dilate"), "erode"))
+
+
+def test_morphology_batched_channel_shapes(rng):
+    from vwfd_tpu.ops import dilate, erode
+    m = (rng.random((2, 9, 9, 1)) > 0.5).astype(np.float32)
+    out = dilate(jnp.asarray(m))
+    assert out.shape == m.shape
+    for b in range(2):
+        np.testing.assert_array_equal(np.asarray(out[b, ..., 0]),
+                                      _np_morph(m[b, ..., 0], "dilate"))
+    # erode(dilate) on an all-ones mask is identity
+    ones = jnp.ones((1, 8, 8, 1))
+    np.testing.assert_array_equal(np.asarray(erode(dilate(ones))),
+                                  np.ones((1, 8, 8, 1), np.float32))

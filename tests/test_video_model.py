@@ -106,3 +106,46 @@ def test_data_parallel_train_step(rng):
     shards = [np.asarray(s.data) for s in leaf.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_allclose(shards[0], s, atol=1e-6)
+
+
+def test_make_optimizer_schedules():
+    """LR schedule parity wiring (VERDICT r2 #7): make_optimizer builds the
+    configured multistep/cosine/warmup schedule from TrainConfig."""
+    import optax
+    from vwfd_tpu.config import TrainConfig
+    from vwfd_tpu.models.state import make_optimizer
+
+    params = {"w": jnp.ones((3,))}
+    grads = {"w": jnp.ones((3,))}
+
+    def lr_trace(tc, n):
+        tx = make_optimizer(tc)
+        state = tx.init(params)
+        p = params
+        out = []
+        for _ in range(n):
+            updates, state = tx.update(grads, state, p)
+            out.append(-float(updates["w"][0]))
+            p = optax.apply_updates(p, updates)
+        return out
+
+    # multistep: lr halves at milestone 2 (weight-decay term perturbs the
+    # pure-lr readout by ~1e-5·lr — compare loosely)
+    tc = TrainConfig(lr=1e-3, weight_decay=0.0, gradient_clipping=0.0,
+                     lr_scheme="multistep", lr_milestones=(2,), lr_gamma=0.5)
+    trace = lr_trace(tc, 4)
+    assert abs(trace[0] - 1e-3) < 1e-5
+    assert abs(trace[3] - 5e-4) < 1e-5
+
+    # warmup: first step scaled down
+    tc = TrainConfig(lr=1e-3, weight_decay=0.0, gradient_clipping=0.0,
+                     warmup_steps=10)
+    trace = lr_trace(tc, 2)
+    assert trace[0] < 2e-4  # ~0/10ths..1/10th of base at step 0
+    assert trace[1] > trace[0]
+
+    # cosine: decays toward eta_min within the period
+    tc = TrainConfig(lr=1e-3, weight_decay=0.0, gradient_clipping=0.0,
+                     lr_scheme="cosine", lr_periods=(8,), eta_min=0.0)
+    trace = lr_trace(tc, 8)
+    assert trace[0] > trace[4] > trace[7] >= 0.0

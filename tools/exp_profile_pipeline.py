@@ -1,0 +1,121 @@
+"""Profile the bench pipeline on the real chip and print a per-op cost table.
+
+Captures a jax.profiler perfetto trace of a few pipeline dispatches and
+aggregates device-side event durations by op name — the ground truth for
+where the 66 ms/step actually goes (per-stage micro-benches through the axon
+tunnel carry ~12 ms dispatch noise; see BASELINE.md r2 caveats).
+
+Usage: python tools/exp_profile_pipeline.py [--mode pipeline|train]
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="pipeline")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--tracedir", default="/tmp/vwfd_trace")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    import jax.numpy as jnp
+    import numpy as np
+    from vwfd_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from vwfd_tpu.models import VideoWatermarkModel
+    from vwfd_tpu.attacks import attack_pool_video
+
+    size, frames, batch = 256, 4, args.batch
+    cfg = Config(data=DataConfig(gt_size=size, frames=frames, batch_size=batch),
+                 model=ModelConfig(), train=TrainConfig(dtype="bfloat16"))
+    model = VideoWatermarkModel(cfg)
+    states = model.init_states(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(rng.random((batch, frames, size, size, 3), np.float32))
+    key = jax.random.PRNGKey(1)
+
+    @jax.jit
+    def pipeline(v, k):
+        k, k_atk = jax.random.split(k)
+        fwd = model.embed(states, v)
+        attacked = jnp.clip(attack_pool_video(k_atk, fwd), 0.0, 1.0)
+        mask = model.predict_mask(states, attacked, train=False)
+        return jnp.mean(fwd), jnp.mean(mask), attacked
+
+    # warm up / compile
+    out = pipeline(video, key)
+    jax.block_until_ready(out)
+    _ = np.asarray(out[0])
+
+    os.makedirs(args.tracedir, exist_ok=True)
+    jax.profiler.start_trace(args.tracedir, create_perfetto_trace=True)
+    for i in range(args.steps):
+        out = pipeline(video, jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    _ = np.asarray(out[0])
+    jax.profiler.stop_trace()
+
+    # ---- parse the perfetto trace
+    paths = sorted(glob.glob(os.path.join(
+        args.tracedir, "**", "*.json.gz"), recursive=True), key=os.path.getmtime)
+    if not paths:
+        print("no perfetto trace found under", args.tracedir)
+        return
+    with gzip.open(paths[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace["traceEvents"] if isinstance(trace, dict) else trace
+
+    # device-side threads: identify pids whose process name mentions TPU/device
+    proc_names = {}
+    thread_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            proc_names[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            thread_names[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+
+    device_pids = {pid for pid, n in proc_names.items()
+                   if "TPU" in n or "/device" in n.lower()}
+    agg = defaultdict(float)
+    cnt = defaultdict(int)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        pid = e.get("pid")
+        if device_pids and pid not in device_pids:
+            continue
+        tname = thread_names.get((pid, e.get("tid")), "")
+        if "step" in tname.lower():
+            continue  # step-marker lane, not ops
+        dur = e.get("dur", 0) / 1e3  # us → ms
+        name = e.get("name", "?")
+        agg[name] += dur
+        cnt[name] += 1
+        total += dur
+    if not agg:
+        print("no device events matched; process names:",
+              sorted(set(proc_names.values())))
+        return
+    print(f"total device op time: {total:.1f} ms over {args.steps} steps "
+          f"({total/args.steps:.1f} ms/step)")
+    rows = sorted(agg.items(), key=lambda kv: -kv[1])[:args.top]
+    for name, ms in rows:
+        print(f"{ms/args.steps:9.3f} ms/step  ×{cnt[name]//args.steps:<4d} "
+              f"{name[:110]}")
+
+
+if __name__ == "__main__":
+    main()

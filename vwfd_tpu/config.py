@@ -15,6 +15,7 @@ import yaml
 class DataConfig:
     """Reference: options/train/*.yml `datasets:` block + data/Dataloader.py."""
     root: Optional[str] = None          # DAVIS root (JPEGImages/480p etc.)
+    mask_root: Optional[str] = None     # forgery-mask dir (tianchi_dataset.py:16-77)
     gt_size: int = 256                  # train_IRNcrop_x4.yml:37
     batch_size: int = 16                # train_IRNcrop_x4.yml:36 (global)
     frames: int = 4                     # video clip length T (netG 12 = 3·4 ch)
@@ -22,6 +23,8 @@ class DataConfig:
     use_flip: bool = True
     use_rot: bool = True
     synthetic: bool = False             # use the synthetic generator (tests/bench)
+    ratio: int = 1                      # epoch enlargement (DistIterSampler ratio;
+                                        # the reference passes 200, train.py:57)
 
 
 @dataclass(frozen=True)
@@ -31,10 +34,31 @@ class ModelConfig:
     inn_block_num: Tuple[int, ...] = (1, 1, 1)
     inn_subnet: str = "res"
     inn_width: int = 0            # coupling trunk width (0 = reference's 64)
+    # fused_st=True: each coupling (s,t) pair from ONE trunk with a
+    # double-width head (TPU default). False = the reference's four separate
+    # subnets (invertible_net.py:122-175) — REQUIRED to load converted
+    # reference .pth checkpoints (tools/convert_reference_checkpoint.py).
+    fused_st: bool = True
+    # Directory of converted reference weights (netG.npz / generator.npz from
+    # tools/convert_reference_checkpoint.py) — the analog of the reference's
+    # pretrain load at startup (models/IRNcrop_model.py:152-178).
+    pretrain_path: Optional[str] = None
     unet_features: int = 32
+    # Tamper-mask extractor: "unet" = reference-exact network/UNet.py (loads
+    # converted reference checkpoints); "unet_tpu" = the MXU-shaped redesign
+    # (nets/unet.py::UNetTPU) — the flagship/bench choice (BASELINE.md r3).
+    extractor: str = "unet"
+    extractor_features: int = 64        # UNetTPU channel base
     localizer_dim: int = 16
     localizer_residual_blocks: int = 2
     discriminator_dim: int = 32
+    # Attack-pool shape knobs (reference: the pools are hard-coded per model,
+    # models/IRNcrop_model.py:84-104 / IRNclr_model.py:504-546; configurable
+    # here). n_attacks = image-family fan-out width k; attack_ratios bounds
+    # the resize round-trip ratio pool (None = full reference pool — tiny
+    # configs use a short tuple to cut compile time).
+    n_attacks: int = 6
+    attack_ratios: Optional[Tuple[float, ...]] = None
 
 
 @dataclass(frozen=True)
@@ -48,17 +72,28 @@ class TrainConfig:
     niter: int = 500_000
     seed: int = 10                      # manual_seed (train.py:317-331)
     psnr_gate: float = 33.0             # IRNcrop_model.py:384-388
-    # forward-fidelity criterion: "bce" = reference parity (BCEWithLogits on
-    # images, IRNcrop_model.py:378-388 — note its minimum is the LOGIT of the
-    # target, which degrades PSNR when training from scratch); "l1"/"l2" are
-    # the sane alternatives for real runs.
-    forward_criterion: str = "bce"
+    # forward-fidelity criterion: "l1" (default — trains from scratch without
+    # the PSNR collapse documented in BASELINE.md); "bce" = reference parity
+    # (BCEWithLogits on images, IRNcrop_model.py:378-388 — its minimum is the
+    # LOGIT of the target, which saturates pixels; the reference masks this by
+    # fine-tuning from a pretrained netG, :152-178). "l2" also available.
+    forward_criterion: str = "l1"
     loss_weight_low: float = 1.0
     loss_weight_high: float = 0.8
     save_interval: int = 5000           # IRNcrop_model.py:334
     montage_interval: int = 500         # IRNcrop_model.py:421
     print_freq: int = 100
     dtype: str = "bfloat16"             # compute dtype (ref: fp16 AMP)
+    # LR schedule (models/lr_scheduler.py + base_model.py:51-75 warmup):
+    # "constant" | "multistep" | "cosine" — built in models/state.py.
+    lr_scheme: str = "constant"
+    warmup_steps: int = 0               # linear warmup (base_model.py:61-75)
+    lr_milestones: Tuple[int, ...] = () # multistep decay points
+    lr_gamma: float = 0.5               # multistep decay factor
+    lr_restarts: Tuple[int, ...] = ()   # multistep restart steps
+    lr_restart_weights: Tuple[float, ...] = ()
+    lr_periods: Tuple[int, ...] = ()    # cosine period lengths
+    eta_min: float = 0.0                # cosine floor
 
 
 @dataclass(frozen=True)

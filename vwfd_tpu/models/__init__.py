@@ -1,6 +1,8 @@
 """Training orchestrators — reference: models/*_model.py."""
 
-from .state import NetState, adamw_chain, save_checkpoint, restore_checkpoint, latest_step
+from .state import (NetState, adamw_chain, make_optimizer, apply_pretrain,
+                    load_npz_tree, save_checkpoint, restore_checkpoint,
+                    latest_step)
 from .video_model import VideoWatermarkModel, VideoBatch
 from .image_model import ImageImmunizationModel, ImageBatch
 from .hidden_model import HiddenModel

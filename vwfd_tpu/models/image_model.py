@@ -38,7 +38,7 @@ from ..nets import InvertibleNet, UNetDiscriminator, QFPredictor
 from ..ops.canny import canny_soft
 from ..ops.quantize import clamp_with_grad, ste_quantize_255
 from ..ops.resize import crop_resize
-from .state import NetState, adamw_chain
+from .state import NetState, make_optimizer
 
 
 class ImageBatch(NamedTuple):
@@ -56,7 +56,8 @@ class ImageImmunizationModel:
     *grayscale image* — the previous batch in gray, as IRNcrop_model.
     evaluate:465-471 builds its watermark — rather than the canny map)."""
 
-    def __init__(self, cfg: Config, task: str = "pami", n_attacks: int = 6,
+    def __init__(self, cfg: Config, task: str = "pami",
+                 n_attacks: Optional[int] = None,
                  with_apex: Optional[bool] = None, mesh=None,
                  attack_ratios=None, with_gan: bool = False,
                  adversarial_weight: float = 0.01,
@@ -66,7 +67,8 @@ class ImageImmunizationModel:
                  reverse_k: Optional[int] = None):
         self.cfg = cfg
         self.task = task
-        self.n_attacks = n_attacks
+        self.n_attacks = (n_attacks if n_attacks is not None
+                          else cfg.model.n_attacks)
         self.watermark_source = "gray_prev" if task == "imuge" else "canny"
         self.with_apex = task == "clr" if with_apex is None else with_apex
         self.with_gan = with_gan
@@ -87,7 +89,8 @@ class ImageImmunizationModel:
         # memory on small hosts.
         self.reverse_k = 0 if reverse_k is None else reverse_k
         self.mesh = mesh
-        self.attack_ratios = attack_ratios
+        self.attack_ratios = (attack_ratios if attack_ratios is not None
+                              else cfg.model.attack_ratios)
         mc, tc = cfg.model, cfg.train
 
         # 4-ch INN (RGB + canny), PAMI composite (IRNp_model.py:158-171,
@@ -98,6 +101,7 @@ class ImageImmunizationModel:
         self.netG = InvertibleNet(channels=4, down_num=mc.inn_down_num,
                                   block_num=mc.inn_block_num,
                                   subnet=mc.inn_subnet,
+                                  fused_st=mc.fused_st,
                                   dtype=self.compute_dtype)
         self.localizer = UNetDiscriminator(
             dim=mc.localizer_dim, residual_blocks=mc.localizer_residual_blocks,
@@ -119,8 +123,7 @@ class ImageImmunizationModel:
             # flow through a *learned* compression model.
             from ..nets import FBCNN
             self.jpeg_sim = FBCNN(nc=(16, 24, 32, 48), nb=1)
-        self.tx = adamw_chain(tc.lr, tc.beta1, tc.beta2, tc.weight_decay,
-                              tc.gradient_clipping)
+        self.tx = make_optimizer(tc)
 
     def init_states(self, key) -> Dict[str, NetState]:
         s = self.cfg.data.gt_size
@@ -147,6 +150,11 @@ class ImageImmunizationModel:
             states["jpeg_sim"] = mk(
                 self.jpeg_sim.apply,
                 self.jpeg_sim.init(kj, x3, jnp.zeros((1, 1), jnp.float32)))
+        if self.cfg.model.pretrain_path:
+            from .state import apply_pretrain
+            import logging
+            states = apply_pretrain(states, self.cfg.model.pretrain_path,
+                                    logging.getLogger("base"))
         if self.mesh is not None:
             from ..parallel import replicate
             states = replicate(states, self.mesh)
@@ -435,9 +443,12 @@ class ImageImmunizationModel:
 
     @functools.partial(jax.jit, static_argnums=0)
     def eval_step(self, states, batch: ImageBatch, prev_images, key):
-        """Immunize → tamper → attack → localize → reverse; quality + F1
-        (the folder protocol of IRNclr_model.evaluate:765-905 without IO)."""
+        """Immunize → tamper → FULL k-way attack fan-out → localize → reverse;
+        quality + F1 per attack branch (the folder protocol of
+        IRNclr_model.evaluate:765-905 without IO — the reference evaluates
+        through the whole 8-way fan-out, :827-876, not just quantization)."""
         img, canny, mask = batch
+        b, h, w, _ = img.shape
         if self.watermark_source == "gray_prev":
             gray = jnp.asarray([0.299, 0.587, 0.114])
             canny = (prev_images @ gray)[..., None]
@@ -456,20 +467,33 @@ class ImageImmunizationModel:
                 * jnp.ones((img.shape[0], 1, 1, 1))
         else:
             tampered = fwd_rgb * (1.0 - mask) + prev_images * mask
-        attacked = jnp.clip(self._attack_fanout(key, tampered)[0], 0.0, 1.0)
+        attacked = self._attack_fanout(key, jnp.clip(tampered, 0.0, 1.0))
+        k = attacked.shape[0]
+        flat = attacked.reshape(k * b, h, w, 3)
         pred_mask, _ = self.localizer.apply(
             {"params": states["localizer"].params,
-             **states["localizer"].variables}, attacked)
+             **states["localizer"].variables}, flat)
         if self.task == "clr":
-            attacked = rectify_crop_pad(attacked, fwd_rgb, apex)
-        rev_in = jnp.concatenate([attacked, canny_soft(attacked)], -1)
+            flat = rectify_crop_pad(flat, jnp.tile(fwd_rgb, (k, 1, 1, 1)),
+                                    apex)
+        rev_in = jnp.concatenate([flat, canny_soft(flat)], -1)
         reversed_stuff, _ = self.netG.apply(
             {"params": states["netG"].params, **states["netG"].variables},
             rev_in, rev=True)
         rev_rgb = jnp.clip(reversed_stuff[..., :3], 0.0, 1.0)
-        _, f1s = f1_sweep(pred_mask, mask)
+
+        # per-attack metrics, vmapped over the k fan-out branches
+        pred_k = pred_mask.reshape(k, b, h, w, 1)
+        rev_k = rev_rgb.reshape(k, b, h, w, 3)
+        f1s_k = jax.vmap(lambda p: f1_sweep(p, mask)[1])(pred_k)      # (k, 9)
+        psnr_b_k = jax.vmap(lambda r: psnr255_int(img, r))(rev_k)     # (k,)
+        # pooled sweep over every attacked copy (the offline-F1 protocol
+        # scores all saved masks together, calculate_f1.py:52-72)
+        _, f1s = f1_sweep(pred_mask, jnp.tile(mask, (k, 1, 1, 1)))
         return {"psnr_forward": psnr255_int(img, fwd_rgb),
-                "psnr_backward": psnr255_int(img, rev_rgb),
+                "psnr_backward": jnp.mean(psnr_b_k),
+                "psnr_backward_per_attack": psnr_b_k,
                 "ssim_forward": ssim(fwd_rgb, img),
                 "f1_best": jnp.max(f1s), "f1_sweep": f1s,
-                "recovered": rev_rgb, "predicted_mask": pred_mask}
+                "f1_per_attack": jnp.max(f1s_k, axis=-1),
+                "recovered": rev_k[0], "predicted_mask": pred_k[0]}

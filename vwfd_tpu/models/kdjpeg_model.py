@@ -23,7 +23,7 @@ import optax
 from ..config import Config
 from ..metrics import l1_loss, bce_loss, psnr255_int
 from ..nets import FBCNN, QFPredictor, Discriminator
-from .state import NetState, adamw_chain
+from .state import NetState, make_optimizer
 
 
 def _ce(logits, labels):
@@ -41,8 +41,7 @@ class KDJpegModel:
         self.generator = FBCNN(nc=nc, nb=nb)           # JPEG simulator
         self.localizer = QFPredictor(nc=nc, nb=1, classes=qf_classes)
         self.discriminator = Discriminator(dim=disc_dim, use_sigmoid=True)
-        self.tx = adamw_chain(tc.lr, tc.beta1, tc.beta2, tc.weight_decay,
-                              tc.gradient_clipping)
+        self.tx = make_optimizer(tc)
 
     def init_states(self, key) -> Dict[str, NetState]:
         s = self.size

@@ -44,6 +44,75 @@ def adamw_chain(lr, beta1=0.9, beta2=0.999, weight_decay=1e-5, clip=1.0):
     return optax.chain(*steps)
 
 
+def make_optimizer(tc):
+    """Optimizer from a TrainConfig: AdamW + clip, with the configured LR
+    schedule (constant / multistep-restart / cosine-restart, each optionally
+    warmed up) — the reference's scheduler construction
+    (models/IRNcrop_model.py:263-282 + base_model.py:51-75)."""
+    from .schedules import multistep_restart, cosine_restart, with_warmup
+    if tc.lr_scheme == "multistep" and tc.lr_milestones:
+        lr = multistep_restart(tc.lr, tc.lr_milestones, tc.lr_gamma,
+                               tc.lr_restarts or None,
+                               tc.lr_restart_weights or None)
+    elif tc.lr_scheme == "cosine" and tc.lr_periods:
+        lr = cosine_restart(tc.lr, tc.lr_periods, tc.eta_min,
+                            tc.lr_restart_weights or None)
+    else:
+        lr = tc.lr
+    lr = with_warmup(lr, tc.warmup_steps)
+    return adamw_chain(lr, tc.beta1, tc.beta2, tc.weight_decay,
+                       tc.gradient_clipping)
+
+
+def load_npz_tree(path: str):
+    """Nested param dict from a `/`-flattened .npz (the converter's format,
+    tools/convert_reference_checkpoint.py)."""
+    import numpy as np
+    flat = np.load(path)
+    tree = {}
+    for key in flat.files:
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = flat[key]
+    return tree
+
+
+def apply_pretrain(states: Dict[str, NetState], pretrain_path: str,
+                   logger=None) -> Dict[str, NetState]:
+    """Load converted reference weights (<name>.npz per net) into matching
+    NetStates — the analog of the reference's startup pretrain load
+    (models/IRNcrop_model.py:152-178 / base_model.py:117-127). Shapes are
+    validated leaf-by-leaf; a missing file skips that net."""
+    import os
+    import numpy as np
+    out = dict(states)
+    for name, s in states.items():
+        path = os.path.join(pretrain_path, f"{name}.npz")
+        if not os.path.exists(path):
+            continue
+        tree = load_npz_tree(path)
+        params = tree.pop("params")
+
+        def _check(a, b, _name=name):
+            if np.shape(a) != np.shape(b):
+                raise ValueError(f"pretrain shape mismatch in {_name}: "
+                                 f"{np.shape(a)} vs {np.shape(b)}")
+        jax.tree_util.tree_map(_check, s.params, params)
+        variables = s.variables
+        if tree:  # extra collections (e.g. batch_stats)
+            variables = {**variables, **tree}
+        import jax.numpy as jnp
+        out[name] = s.replace(
+            params=jax.tree_util.tree_map(
+                lambda t, x: jnp.asarray(x, dtype=t.dtype), s.params, params),
+            variables=variables)
+        if logger is not None:
+            logger.info("loaded pretrain %s from %s", name, path)
+    return out
+
+
 def save_checkpoint(ckpt_dir: str, step: int, states: Dict[str, NetState]):
     """Orbax save of {name: (params, variables, opt_state)} + step."""
     import orbax.checkpoint as ocp

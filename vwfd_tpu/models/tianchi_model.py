@@ -21,7 +21,7 @@ from ..attacks.blur import gaussian_blur_attack
 from ..config import Config
 from ..metrics import bce_loss, l1_loss, f1_sweep
 from ..nets.sunet import SUNet
-from .state import NetState, adamw_chain
+from .state import NetState, make_optimizer
 
 # QF bands of the tianchi pools (tianchi_model.py:112-135)
 QF_BANDS = {
@@ -43,8 +43,7 @@ class TianchiModel:
                          num_heads=num_heads, window_size=window_size,
                          apply_sigmoid=True)
         self.band = QF_BANDS[robustness_band]
-        self.tx = adamw_chain(tc.lr, tc.beta1, tc.beta2, tc.weight_decay,
-                              tc.gradient_clipping)
+        self.tx = make_optimizer(tc)
 
     def init_states(self, key) -> Dict[str, NetState]:
         s = self.cfg.data.gt_size

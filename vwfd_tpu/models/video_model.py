@@ -30,9 +30,9 @@ import numpy as np
 from ..attacks import attack_pool_video
 from ..config import Config
 from ..metrics import bce_with_logits, psnr255_int, f1_sweep, ssim
-from ..nets import InvertibleNet, UNet
+from ..nets import InvertibleNet, UNet, UNetTPU
 from ..ops.quantize import clamp_with_grad, ste_quantize_255
-from .state import NetState, adamw_chain
+from .state import NetState, make_optimizer
 
 
 class VideoBatch(NamedTuple):
@@ -61,8 +61,9 @@ class VideoWatermarkModel:
         self.cfg = cfg
         self.mesh = mesh
         self.frames = cfg.data.frames
-        self.attack_ratios = attack_ratios
         mc, tc = cfg.model, cfg.train
+        self.attack_ratios = (attack_ratios if attack_ratios is not None
+                              else mc.attack_ratios)
 
         # bf16 compute (the TPU analog of the reference's fp16 AMP,
         # IRNcrop_model.py:143,340); params and losses stay f32.
@@ -70,11 +71,16 @@ class VideoWatermarkModel:
         self.inn = InvertibleNet(
             channels=3 * self.frames, down_num=mc.inn_down_num,
             block_num=mc.inn_block_num, subnet=mc.inn_subnet,
-            width=mc.inn_width, dtype=self.compute_dtype)
-        self.unet = UNet(out_channels=1, init_features=mc.unet_features,
-                         dtype=self.compute_dtype)
-        self.tx = adamw_chain(tc.lr, tc.beta1, tc.beta2, tc.weight_decay,
-                              tc.gradient_clipping)
+            width=mc.inn_width, fused_st=mc.fused_st,
+            dtype=self.compute_dtype)
+        if mc.extractor == "unet_tpu":
+            self.unet = UNetTPU(out_channels=1,
+                                init_features=mc.extractor_features,
+                                dtype=self.compute_dtype)
+        else:
+            self.unet = UNet(out_channels=1, init_features=mc.unet_features,
+                             dtype=self.compute_dtype)
+        self.tx = make_optimizer(tc)
 
     # ------------------------------------------------------------------ init
 
@@ -93,6 +99,11 @@ class VideoWatermarkModel:
                 self.unet.apply, unet_vars["params"],
                 {k: v for k, v in unet_vars.items() if k != "params"}, self.tx),
         }
+        if self.cfg.model.pretrain_path:
+            from .state import apply_pretrain
+            import logging
+            states = apply_pretrain(states, self.cfg.model.pretrain_path,
+                                    logging.getLogger("base"))
         if self.mesh is not None:
             from ..parallel import replicate
             states = replicate(states, self.mesh)
@@ -102,6 +113,10 @@ class VideoWatermarkModel:
 
     def embed(self, states, video):
         """Watermark-embed a video clip: INN fwd + clamp + quantize."""
+        if self.compute_dtype is not None:
+            # cast before the frame→channel transpose: the INN casts at entry
+            # anyway, and transposing f32 doubles the copy traffic (r3 profile)
+            video = video.astype(self.compute_dtype)
         x = _to_channels(video)
         fwd = self.inn.apply({"params": states["netG"].params,
                               **states["netG"].variables}, x)
@@ -129,7 +144,8 @@ class VideoWatermarkModel:
         video, mask = batch.video, batch.mask
         b, t = video.shape[0], video.shape[1]
 
-        x = _to_channels(video)
+        x = _to_channels(video.astype(self.compute_dtype)
+                         if self.compute_dtype is not None else video)
         fwd = self.inn.apply({"params": params["netG"],
                               **states["netG"].variables}, x)
         fwd = ste_quantize_255(clamp_with_grad(fwd))

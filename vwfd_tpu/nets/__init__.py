@@ -5,7 +5,7 @@ from .blocks import SNConv, ResnetBlock, ConvBNRelu, scaled_glorot, scaled_kaimi
 from .inn import (
     InvertibleNet, RNVPCoupling, DenseSubnet, ResSubnet, Gaussianize, squeeze2x,
 )
-from .unet import UNet
+from .unet import UNet, UNetTPU
 from .localizer import UNetDiscriminator
 from .discriminator import Discriminator, DGDiscriminator
 from .hidden import (

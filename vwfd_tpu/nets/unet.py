@@ -1,8 +1,13 @@
-"""Textbook U-Net — the video tamper-mask predictor (`generator` in the
-flagship IRNcrop model). Reference: network/UNet.py:7-98.
+"""Tamper-mask predictors (`generator` in the flagship IRNcrop model).
 
-Encoder ×4 (double conv+BN+ReLU, maxpool), bottleneck, decoder ×4 with
-transposed-conv upsampling and skip concatenation, 1×1 conv + sigmoid head.
+`UNet` is the reference-exact textbook U-Net (network/UNet.py:7-98): encoder
+×4 (double conv+BN+ReLU, maxpool), bottleneck, decoder ×4 with transposed-conv
+upsampling and skip concatenation, 1×1 conv + sigmoid head. Its checkpoint
+layout interchanges with converted reference weights.
+
+`UNetTPU` is the TPU-first re-shape of the same design (see its docstring) —
+the flagship/bench extractor once localization parity was shown
+(BASELINE.md r3 convergence table).
 """
 
 import jax.numpy as jnp
@@ -93,6 +98,86 @@ class UNet(nn.Module):
             jnp.concatenate([up(d3, f * 2, "up2"), enc2], -1), train)
         d1 = _DoubleConv(f, dtype=dt, name="dec1")(
             jnp.concatenate([up(d2, f, "up1"), enc1], -1), train)
-        out = nn.Conv(self.out_channels, (1, 1), name="head")(
-            d1.astype(jnp.float32))
+        # head runs in the compute dtype (a full-res f32 conv costs ~1.6 ms
+        # per 128-frame step — r3 profile); logits cast back to f32
+        out = nn.Conv(self.out_channels, (1, 1), dtype=dt, name="head")(d1)
+        out = out.astype(jnp.float32)
+        return nn.sigmoid(out) if self.apply_sigmoid else out
+
+
+class UNetTPU(nn.Module):
+    """TPU-first tamper-mask extractor.
+
+    Same encoder/decoder-with-skips design as the reference UNet
+    (network/UNet.py:7-98), re-shaped for the MXU's 128-lane output dim —
+    the r3 profile showed the reference's 32-feature plan caps its high-res
+    convolutions at 25-50% MXU utilization (output channels < 128 lanes),
+    making the extractor the most expensive pipeline stage (BASELINE.md):
+
+      * space-to-depth stem (factor `s2d`): 256²×3 → 128²×12, so the network
+        never convolves at full resolution with tiny channel counts;
+      * channel plan f·(1,2,4,8) + f·16 bottleneck with f=64: every level
+        from the second down fills the 128 output lanes;
+      * single-conv decoder stages (the second 3×3 of each reference decoder
+        level adds FLOPs at the worst utilization; localization quality is
+        validated by the convergence run, BASELINE.md r3);
+      * the head predicts s2d-packed logits (s2d²·out_channels at 128²) and
+        depth-to-space unpacks to the input resolution — no full-res conv.
+
+    Mask semantics, training recipe and loss interface are identical to
+    `UNet`; it is selected by `ModelConfig.extractor = "unet_tpu"`.
+    """
+    out_channels: int = 1
+    init_features: int = 64
+    s2d: int = 2
+    apply_sigmoid: bool = True
+    dtype: object = None  # compute dtype; params/output stay f32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        f, s = self.init_features, self.s2d
+        dt = self.dtype
+        b, h, w, c = x.shape
+        if dt is not None:
+            x = x.astype(dt)
+        # space-to-depth stem
+        x = x.reshape(b, h // s, s, w // s, s, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // s, w // s, s * s * c)
+
+        enc1 = _DoubleConv(f, dtype=dt, name="enc1")(x, train)
+        enc2 = _DoubleConv(f * 2, dtype=dt, name="enc2")(
+            nn.max_pool(enc1, (2, 2), (2, 2)), train)
+        enc3 = _DoubleConv(f * 4, dtype=dt, name="enc3")(
+            nn.max_pool(enc2, (2, 2), (2, 2)), train)
+        enc4 = _DoubleConv(f * 8, dtype=dt, name="enc4")(
+            nn.max_pool(enc3, (2, 2), (2, 2)), train)
+        bott = _DoubleConv(f * 16, dtype=dt, name="bottleneck")(
+            nn.max_pool(enc4, (2, 2), (2, 2)), train)
+
+        def up(z, feats, name):
+            return nn.ConvTranspose(feats, (2, 2), strides=(2, 2), dtype=dt,
+                                    name=name)(z)
+
+        def dec(z, skip, feats, name):
+            z = jnp.concatenate([z, skip], -1)
+            z = nn.Conv(feats, (3, 3), padding=1, use_bias=False,
+                        kernel_init=nn.initializers.kaiming_normal(),
+                        dtype=dt, name=f"{name}_conv")(z)
+            z = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=dt, name=f"{name}_bn")(z)
+            return nn.relu(z)
+
+        d4 = dec(up(bott, f * 8, "up4"), enc4, f * 8, "dec4")
+        d3 = dec(up(d4, f * 4, "up3"), enc3, f * 4, "dec3")
+        d2 = dec(up(d3, f * 2, "up2"), enc2, f * 2, "dec2")
+        d1 = dec(up(d2, f, "up1"), enc1, f, "dec1")
+
+        # s2d-packed head + depth-to-space back to the input resolution
+        out = nn.Conv(self.out_channels * s * s, (1, 1), dtype=dt,
+                      name="head")(d1)
+        hh, ww = out.shape[1], out.shape[2]
+        out = out.reshape(b, hh, ww, s, s, self.out_channels)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, hh * s, ww * s, self.out_channels)
+        out = out.astype(jnp.float32)
         return nn.sigmoid(out) if self.apply_sigmoid else out

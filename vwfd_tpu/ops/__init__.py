@@ -26,4 +26,5 @@ from .filters import (
     SRM_FILTERS, srm_conv, bayar_constrain,
 )
 from .haar import haar_downsample, haar_upsample
+from .morphology import dilate, erode, opening, closing
 from .pad import symm_pad, reflect_index

@@ -12,11 +12,42 @@ shards the video clip dim T — the TPU-native generalization SURVEY.md §2.1
 suggests beyond parity.
 """
 
+import os
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_init_distributed() -> int:
+    """Multi-host entry — the SPMD replacement for the reference's per-GPU
+    process spawn + NCCL `init_process_group` (train.py:20-33).
+
+    Env-gated so single-host runs (v5e-8 and below) pay nothing: set
+    `VWFD_MULTIHOST=1` (with the standard JAX cluster env — coordinator
+    address/process id auto-detected on TPU pods, or JAX_COORDINATOR_ADDRESS /
+    JAX_PROCESS_ID / JAX_NUM_PROCESSES elsewhere) and every host calls
+    `jax.distributed.initialize()`; afterwards `jax.devices()` spans the pod
+    and the same `Mesh` + NamedSharding code drives DCN+ICI collectives.
+
+    Returns the process index (0 on single-host). Callers gate logging,
+    checkpoint writes, and montage dumps on `process_index() == 0` — the
+    analog of the reference's `rank <= 0` guards (train.py:96-109)."""
+    if os.environ.get("VWFD_MULTIHOST", "") not in ("", "0", "false"):
+        kwargs = {}
+        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            kwargs = dict(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+                process_id=int(os.environ.get("JAX_PROCESS_ID", "0")))
+        jax.distributed.initialize(**kwargs)
+    return jax.process_index()
+
+
+def is_main_process() -> bool:
+    """Process-0 guard (reference `rank <= 0`, train.py:96-109)."""
+    return jax.process_index() == 0
 
 
 def make_mesh(n_devices: Optional[int] = None,
