@@ -41,10 +41,23 @@ def pytest_configure(config):
     assert len(jax.devices()) == 8, jax.devices()
 
 
+# Modules whose slow tests exercise full model train/eval steps — the heavy
+# half of the slow tier (VERDICT r2 #10: the whole `-m slow` tier cannot fit
+# one <10-min window on this 1-core host; these two halves each can):
+#   python -m pytest -m "slow and slow_models" -q      (model half)
+#   python -m pytest -m "slow and not slow_models" -q  (golden/parity half)
+_MODEL_TIER = {"test_image_model", "test_video_model", "test_task_models",
+               "test_watermark_models", "test_cli", "test_graft_entry",
+               "test_convert"}
+
+
 def pytest_collection_modifyitems(config, items):
-    # Two tiers (VERDICT r1 #10): `-m smoke` = fast tier that fits a <5-min
-    # driver/judge window; `slow` marks the heavy golden/parity/train-step
-    # tests. Every non-slow test is auto-marked smoke.
+    # Tiers (VERDICT r1 #10 / r2 #10): `-m smoke` = fast tier that fits a
+    # <5-min driver/judge window; `slow` marks the heavy golden/parity/
+    # train-step tests, split into two bounded halves by `slow_models`.
+    # Every non-slow test is auto-marked smoke.
     for item in items:
         if "slow" not in item.keywords:
             item.add_marker(pytest.mark.smoke)
+        elif item.module.__name__.split(".")[-1] in _MODEL_TIER:
+            item.add_marker(pytest.mark.slow_models)

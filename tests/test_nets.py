@@ -145,3 +145,31 @@ def test_unet_tpu_shapes_and_grads(rng):
     assert all(np.all(np.isfinite(np.asarray(l)))
                for l in jax.tree_util.tree_leaves(g))
     assert float(optax.global_norm(g)) > 0
+
+
+def test_inn_invertibility_res_tpu(rng):
+    """The MXU-shaped trunk keeps exact invertibility (same coupling math,
+    different subnet parameterization)."""
+    model = nets.InvertibleNet(channels=4, down_num=2, block_num=(1, 1),
+                               subnet="res_tpu")
+    x = jnp.asarray(rng.random((1, 16, 16, 4), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    assert y.shape == x.shape
+    # zero-init head ⇒ near-identity at init (like the reference's zero-init
+    # conv5; the affine ε=1e-4 makes each coupling scale by 1+1e-4, so the
+    # chain deviates by ~4e-4, invertible_net.py:150-151 semantics)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), atol=2e-3)
+    x_rec, _ = model.apply(params, y, rev=True)
+    assert float(jnp.abs(x_rec - x).max()) < 1e-4
+
+    # and with non-trivial (s, t): nudge every bias so the heads emit
+    # non-zero couplings while activations stay bounded — inversion must
+    # still reconstruct exactly
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, a: a + (0.05 if path[-1].key == "bias" else 0.0),
+        params)
+    y = model.apply(params, x)
+    assert float(jnp.abs(y - x).max()) > 1e-2  # genuinely non-identity now
+    x_rec, _ = model.apply(params, y, rev=True)
+    assert float(jnp.abs(x_rec - x).max()) < 1e-3

@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--tracedir", default="/tmp/vwfd_trace")
+    ap.add_argument("--extractor", default="unet_tpu")
     args = ap.parse_args()
 
     import jax
@@ -38,7 +39,8 @@ def main():
 
     size, frames, batch = 256, 4, args.batch
     cfg = Config(data=DataConfig(gt_size=size, frames=frames, batch_size=batch),
-                 model=ModelConfig(), train=TrainConfig(dtype="bfloat16"))
+                 model=ModelConfig(extractor=args.extractor),
+                 train=TrainConfig(dtype="bfloat16"))
     model = VideoWatermarkModel(cfg)
     states = model.init_states(jax.random.PRNGKey(0))
 

@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--eval-every", type=int, default=200)
+    ap.add_argument("--extractor", default="unet",
+                    help="unet (reference-exact) | unet_tpu (MXU-shaped)")
+    ap.add_argument("--subnet", default="res",
+                    help="INN coupling subnet: res (reference-exact) | "
+                         "res_tpu (MXU-shaped) | dense")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -42,9 +47,11 @@ def main():
     from vwfd_tpu.data import Loader
     from vwfd_tpu.models import VideoWatermarkModel, VideoBatch
 
+    from vwfd_tpu.config import ModelConfig
     cfg = Config(
         data=DataConfig(gt_size=args.size, batch_size=args.batch,
                         frames=args.frames),
+        model=ModelConfig(extractor=args.extractor, inn_subnet=args.subnet),
         train=TrainConfig(forward_criterion=args.criterion))
     if args.root:
         from vwfd_tpu.data.davis import DavisVideoDataset

@@ -75,6 +75,43 @@ class ResSubnet(nn.Module):
             jnp.concatenate([x, h], -1))
 
 
+class ResSubnetTPU(nn.Module):
+    """MXU-shaped coupling trunk — the TPU-first alternative to `ResSubnet`.
+
+    The reference trunk (4×64-wide 3×3 convs + a 3×3 cat-skip head,
+    invertible_net.py:326-366) caps at 50% MXU utilization: every GEMM dim
+    below the MXU's 128 lanes wastes the rest (r3 profile, BASELINE.md).
+    This trunk keeps the same role and interface (cat-skip, zero-init final
+    so couplings start at identity) with MXU-aligned shapes:
+
+      * two 3×3 convs at width 128 (full output lanes; receptive field 5×5),
+      * a 1×1 cat-skip head — the head's output width is fixed by the
+        coupling split (48 at the 48-ch level), so shrinking its contraction
+        9× is where the reference trunk loses most of its cycles.
+
+    ~0.76× the reference trunk's FLOPs at ~2× the utilization. Embedding
+    quality/localization parity is shown by the convergence run
+    (BASELINE.md r3). Selected by `ModelConfig.inn_subnet = "res_tpu"`.
+    """
+    out_channels: int
+    feature: int = 128
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        init = scaled_glorot(0.1)
+        dt = self.dtype
+        if dt is not None:
+            x = x.astype(dt)
+        h = nn.elu(nn.Conv(self.feature, (3, 3), padding=1, kernel_init=init,
+                           dtype=dt)(x))
+        h = nn.elu(nn.Conv(self.feature, (3, 3), padding=1, kernel_init=init,
+                           dtype=dt)(h))
+        return nn.Conv(self.out_channels, (1, 1),
+                       kernel_init=nn.initializers.zeros, dtype=dt)(
+            jnp.concatenate([x, h], -1))
+
+
 class PallasSubnet(nn.Module):
     """ResSubnet with the fused Pallas TPU kernel as its forward
     (nets/pallas_coupling.py): identical math and the SAME param tree
@@ -102,7 +139,8 @@ class PallasSubnet(nn.Module):
         return pallas_subnet_op(x.astype(jnp.bfloat16), tuple(ws), tuple(bs))
 
 
-_SUBNETS = {"res": ResSubnet, "dense": DenseSubnet, "res_pallas": PallasSubnet}
+_SUBNETS = {"res": ResSubnet, "dense": DenseSubnet, "res_tpu": ResSubnetTPU,
+            "res_pallas": PallasSubnet}
 
 
 def _e(s):
