@@ -3,9 +3,10 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The pipeline measured is the flagship inference path (the BASELINE.json
-headline): INN watermark embed (12-ch, block_num (1,1,1), ResBlock subnets)
-→ 5-way per-frame attack pool (resize/JPEG×2/median/gauss) → UNet tamper-mask
-extraction, at 256², batch the reference's global batch 16 (4 clips × T=4).
+headline): INN watermark embed (12-ch, block_num (1,1,1), MXU-shaped res_tpu
+coupling trunks) → 5-way per-frame attack pool (resize/JPEG×2/median/gauss)
+→ UNetTPU tamper-mask extraction, at 256². Reference-exact architectures
+remain selectable (--subnet res --extractor unet).
 
 `vs_baseline` divides by REFERENCE_GPU_FPS — the estimated reference
 throughput of the same pipeline in the PyTorch repo on one A100-class GPU
@@ -35,8 +36,10 @@ def main():
                     help="also time embed/attack/extract separately (stderr)")
     ap.add_argument("--dtype", type=str, default="bfloat16",
                     help="compute dtype: bfloat16 | float32")
-    ap.add_argument("--subnet", type=str, default="res",
-                    help="INN coupling subnet: res (XLA) | res_pallas (fused kernel)")
+    ap.add_argument("--subnet", type=str, default="res_tpu",
+                    help="INN coupling subnet: res_tpu (MXU-shaped flagship "
+                         "default — parity in BASELINE.md r3) | res "
+                         "(reference-exact) | res_pallas (fused kernel)")
     ap.add_argument("--extractor", type=str, default="unet_tpu",
                     help="tamper-mask extractor: unet_tpu (MXU-shaped "
                          "redesign, flagship default — F1 parity shown in "
@@ -61,10 +64,11 @@ def main():
         ratios = (0.5, 1.0, 1.5)
     else:
         size, frames, batch, steps, warmup = 256, 4, args.batch or 32, args.steps or 10, 3
+        # Flagship nets: MXU-shaped res_tpu coupling trunk + UNetTPU extractor
+        # (BASELINE.md r3 — 2817 fps vs 1941 with the reference-shaped nets).
         # NB: inn_subnet='res_pallas' (the fused coupling kernel) measured
         # SLOWER in-context (embed 83.6 vs 35.4 ms — BASELINE.md r2 table);
-        # per-call micro-benches flattered it via dispatch pipelining. The
-        # XLA subnet stays the bench default until the kernel wins in-context.
+        # per-call micro-benches flattered it via dispatch pipelining.
         mc = ModelConfig(inn_subnet=args.subnet, extractor=args.extractor)
         ratios = None
 

@@ -149,3 +149,31 @@ def test_make_optimizer_schedules():
                      lr_scheme="cosine", lr_periods=(8,), eta_min=0.0)
     trace = lr_trace(tc, 8)
     assert trace[0] > trace[4] > trace[7] >= 0.0
+
+
+@pytest.mark.slow
+def test_flagship_tpu_nets_train_step(rng):
+    """The configs/video.yaml flagship combo (res_tpu coupling trunks +
+    UNetTPU extractor, BASELINE.md r3) trains end-to-end: finite losses,
+    near-identity embed at init, both nets' params move."""
+    cfg = Config(
+        data=DataConfig(gt_size=32, batch_size=2, frames=2, synthetic=True),
+        model=ModelConfig(inn_down_num=2, inn_block_num=(1, 1),
+                          inn_subnet="res_tpu", extractor="unet_tpu",
+                          extractor_features=8),
+    )
+    model = VideoWatermarkModel(cfg, attack_ratios=RATIOS)
+    states = model.init_states(jax.random.PRNGKey(0))
+    batch = _batch(rng, cfg)
+    fwd = model.embed(states, batch.video)
+    psnr = -10 * np.log10(float(jnp.mean((fwd - batch.video) ** 2)) + 1e-12)
+    assert psnr > 40, f"init embed not near-identity: {psnr:.1f} dB"
+    new_states, logs = model.train_step(states, batch, batch.video + 0.1,
+                                        jax.random.PRNGKey(1))
+    for k in ("loss", "lF", "lB", "PF"):
+        assert np.isfinite(float(logs[k])), k
+    for net in ("netG", "generator"):
+        before = jax.tree_util.tree_leaves(states[net].params)
+        after = jax.tree_util.tree_leaves(new_states[net].params)
+        assert any(not np.allclose(np.asarray(x), np.asarray(y))
+                   for x, y in zip(before, after)), net
