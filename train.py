@@ -97,8 +97,7 @@ def _image_loop(cfg, mesh, args, key, task, is_main):
     from vwfd_tpu.data.masks import free_form_stroke_mask
     from vwfd_tpu.data.images import ImageFolderDataset
     from vwfd_tpu.models.image_model import ImageImmunizationModel, ImageBatch
-    from vwfd_tpu.models.state import (restore_checkpoint, latest_step,
-                                       save_checkpoint)
+    from vwfd_tpu.models.state import save_checkpoint
     from vwfd_tpu.utils import Progbar, setup_logger
 
     logger = setup_logger("base")
@@ -137,14 +136,7 @@ def _image_loop(cfg, mesh, args, key, task, is_main):
     from vwfd_tpu.attacks.jpeg import jpeg_real
     key, k0 = jax.random.split(key)
     states = model.init_states(k0)
-    ckpt_dir = f"{cfg.ckpt_dir}_{task}"
-    step = 0
-    if args.resume:
-        step0 = latest_step(ckpt_dir)
-        if step0 is not None:
-            logger.info("resuming from step %d", step0)
-            states = restore_checkpoint(ckpt_dir, step0, states)
-            step = step0
+    ckpt_dir, step, states = _resume_states(cfg, args, task, states, logger)
 
     if args.val:
         acc = []
@@ -200,10 +192,26 @@ def _image_loop(cfg, mesh, args, key, task, is_main):
     logger.info("done")
 
 
+def _resume_states(cfg, args, task, states, logger):
+    """Shared checkpoint/resume wiring for the non-video loops (the
+    reference's save_training_state/resume_training, base_model.py:129-150)."""
+    from vwfd_tpu.models.state import restore_checkpoint, latest_step
+    ckpt_dir = f"{cfg.ckpt_dir}_{task}"
+    step = 0
+    if args.resume:
+        step0 = latest_step(ckpt_dir)
+        if step0 is not None:
+            logger.info("resuming %s from step %d", task, step0)
+            states = restore_checkpoint(ckpt_dir, step0, states)
+            step = step0
+    return ckpt_dir, step, states
+
+
 def _message_loop(cfg, mesh, args, key, task, is_main):
     import jax
     import jax.numpy as jnp
     from vwfd_tpu.data import SyntheticImageDataset, Loader
+    from vwfd_tpu.models.state import save_checkpoint
     from vwfd_tpu.utils import Progbar, setup_logger
 
     logger = setup_logger("base")
@@ -219,6 +227,7 @@ def _message_loop(cfg, mesh, args, key, task, is_main):
     if mesh is not None:
         from vwfd_tpu.parallel import replicate
         states = replicate(states, mesh)
+    ckpt_dir, step, states = _resume_states(cfg, args, task, states, logger)
     loader = Loader(SyntheticImageDataset(size=dcfg.gt_size, length=2000,
                                           seed=cfg.train.seed),
                     dcfg.batch_size, seed=cfg.train.seed,
@@ -229,7 +238,6 @@ def _message_loop(cfg, mesh, args, key, task, is_main):
           if is_main else None)
     rng = np.random.default_rng(cfg.train.seed)
     sharding = _loader_sharding(mesh)
-    step = 0
     while step < steps:
         for imgs in loader:
             if step >= steps:
@@ -247,6 +255,8 @@ def _message_loop(cfg, mesh, args, key, task, is_main):
                 pb.add(1, values=vals)
             if scalar_logger is not None:
                 scalar_logger.log(step, **dict(vals))
+            if is_main and step % cfg.train.save_interval == 0:
+                save_checkpoint(ckpt_dir, step, states)
     logger.info("done")
 
 
@@ -256,6 +266,7 @@ def _kdjpeg_loop(cfg, mesh, args, key, is_main):
     from vwfd_tpu.data.jpeg_data import LQJpegDataset
     from vwfd_tpu.data import Loader
     from vwfd_tpu.models.kdjpeg_model import KDJpegModel
+    from vwfd_tpu.models.state import save_checkpoint
     from vwfd_tpu.utils import Progbar, setup_logger
 
     logger = setup_logger("base")
@@ -274,11 +285,11 @@ def _kdjpeg_loop(cfg, mesh, args, key, is_main):
     if mesh is not None:
         from vwfd_tpu.parallel import replicate
         states = replicate(states, mesh)
+    ckpt_dir, step, states = _resume_states(cfg, args, "kdjpeg", states, logger)
     sharding = _loader_sharding(mesh)
     scalar_logger, _ = _telemetry(cfg, args, is_main)
     steps = args.steps or cfg.train.niter
     pb = Progbar(steps, stateful_metrics=["PSSIMU"]) if is_main else None
-    step = 0
     while step < steps:
         for versions, labels in loader:
             if step >= steps:
@@ -296,6 +307,8 @@ def _kdjpeg_loop(cfg, mesh, args, key, is_main):
                 pb.add(1, values=vals)
             if scalar_logger is not None:
                 scalar_logger.log(step, **dict(vals))
+            if is_main and step % cfg.train.save_interval == 0:
+                save_checkpoint(ckpt_dir, step, states)
     logger.info("done")
 
 
@@ -305,6 +318,7 @@ def _tianchi_loop(cfg, mesh, args, key, is_main):
     from vwfd_tpu.data import SyntheticVideoDataset, Loader
     from vwfd_tpu.data.images import ImageFolderDataset
     from vwfd_tpu.models.tianchi_model import TianchiModel
+    from vwfd_tpu.models.state import save_checkpoint
     from vwfd_tpu.utils import Progbar, setup_logger
 
     logger = setup_logger("base")
@@ -343,10 +357,11 @@ def _tianchi_loop(cfg, mesh, args, key, is_main):
     if mesh is not None:
         from vwfd_tpu.parallel import replicate
         states = replicate(states, mesh)
+    ckpt_dir, step, states = _resume_states(cfg, args, "tianchi", states,
+                                            logger)
     scalar_logger, _ = _telemetry(cfg, args, is_main)
     steps = args.steps or cfg.train.niter
     pb = Progbar(steps) if is_main else None
-    step = 0
     while step < steps:
         for item in loader:
             if step >= steps:
@@ -361,6 +376,8 @@ def _tianchi_loop(cfg, mesh, args, key, is_main):
                 pb.add(1, values=vals)
             if scalar_logger is not None:
                 scalar_logger.log(step, **dict(vals))
+            if is_main and step % cfg.train.save_interval == 0:
+                save_checkpoint(ckpt_dir, step, states)
     logger.info("done")
 
 

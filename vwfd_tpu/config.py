@@ -94,6 +94,11 @@ class TrainConfig:
     lr_restart_weights: Tuple[float, ...] = ()
     lr_periods: Tuple[int, ...] = ()    # cosine period lengths
     eta_min: float = 0.0                # cosine floor
+    # Pretrained VGG19 weights for the perceptual/style losses (.npz from
+    # tools/convert_vgg19.py — the reference loads torchvision's pretrained
+    # VGG19, loss.py:155-178). None = the documented seeded-random fallback
+    # (this environment ships no pretrained weights).
+    vgg_weights: Optional[str] = None
 
 
 @dataclass(frozen=True)

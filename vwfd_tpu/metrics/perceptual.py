@@ -64,6 +64,20 @@ def load_torch_state_dict(state_dict):
     return {"params": params}
 
 
+def load_vgg_npz(path):
+    """Load VGG19 feature params from an `.npz` written by
+    `tools/convert_vgg19.py` (keys `conv{s}_{r}.kernel` / `.bias`, HWIO) —
+    the config-reachable pretrained-weights path (`TrainConfig.vgg_weights`)."""
+    data = np.load(path)
+    params = {}
+    for s, (_, reps) in enumerate(_STAGES, start=1):
+        for r in range(1, reps + 1):
+            name = f"conv{s}_{r}"
+            params[name] = {"kernel": jnp.asarray(data[f"{name}.kernel"]),
+                            "bias": jnp.asarray(data[f"{name}.bias"])}
+    return {"params": params}
+
+
 def _features(x, params):
     if params is None:
         params = _default_params(x.shape[-1])

@@ -123,6 +123,15 @@ class ImageImmunizationModel:
             # flow through a *learned* compression model.
             from ..nets import FBCNN
             self.jpeg_sim = FBCNN(nc=(16, 24, 32, 48), nb=1)
+        # Pretrained VGG19 for the perceptual terms when configured
+        # (TrainConfig.vgg_weights ← tools/convert_vgg19.py; the reference
+        # loads torchvision's pretrained VGG19, loss.py:155-178). None keeps
+        # the documented seeded-random fallback.
+        if tc.vgg_weights:
+            from ..metrics.perceptual import load_vgg_npz
+            self.vgg_params = load_vgg_npz(tc.vgg_weights)
+        else:
+            self.vgg_params = None
         self.tx = make_optimizer(tc)
 
     def init_states(self, key) -> Dict[str, NetState]:
@@ -360,9 +369,11 @@ class ImageImmunizationModel:
             l_null = l1_loss(fwd_null, jnp.zeros_like(fwd_null))
             l_forward = l_forward + 16.0 * l_null
             l_backward = l1_loss(rev_rgb, img_exp) + l1_loss(rev_wm, canny_exp)
-            l_forward = l_forward + 0.01 * perceptual_loss(fwd_rgb, img)
+            l_forward = l_forward + 0.01 * perceptual_loss(
+                fwd_rgb, img, params=self.vgg_params)
             l_backward = l_backward + 0.01 * perceptual_loss(
-                jnp.tile(rev_wm, (1, 1, 1, 3)), jnp.tile(canny_exp, (1, 1, 1, 3)))
+                jnp.tile(rev_wm, (1, 1, 1, 3)), jnp.tile(canny_exp, (1, 1, 1, 3)),
+                params=self.vgg_params)
             alpha_f = jnp.where(psnr_f < 32.0, 1.5, 1.0)
             alpha_b = jnp.where(psnr_f - psnr_b > 1.0, 1.25 * 8.0, 8.0)
             loss = alpha_f * l_forward + alpha_b * l_backward
