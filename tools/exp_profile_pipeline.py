@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--tracedir", default="/tmp/vwfd_trace")
     ap.add_argument("--extractor", default="unet_tpu")
+    ap.add_argument("--subnet", default="res_tpu")
     args = ap.parse_args()
 
     import jax
@@ -39,7 +40,8 @@ def main():
 
     size, frames, batch = 256, 4, args.batch
     cfg = Config(data=DataConfig(gt_size=size, frames=frames, batch_size=batch),
-                 model=ModelConfig(extractor=args.extractor),
+                 model=ModelConfig(extractor=args.extractor,
+                                   inn_subnet=args.subnet),
                  train=TrainConfig(dtype="bfloat16"))
     model = VideoWatermarkModel(cfg)
     states = model.init_states(jax.random.PRNGKey(0))

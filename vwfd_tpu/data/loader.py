@@ -31,6 +31,16 @@ class Loader:
         self.num_workers = num_workers
 
     def _make_batch(self, idxs, pool=None):
+        if self.sharding is not None:
+            import jax
+            if jax.process_count() > 1:
+                # multi-host: fetch only this process's contiguous row block
+                # of the global batch (per-rank batch_size // world_size,
+                # data/__init__.py:16-17); put_global assembles the global
+                # array from the per-process chunks.
+                from ..parallel import local_batch_slice
+                lo, hi = local_batch_slice(len(idxs))
+                idxs = idxs[lo:hi]
         if pool is not None:
             items = list(pool.map(self.dataset.__getitem__, idxs))
         else:
@@ -42,9 +52,10 @@ class Loader:
         else:
             batch = np.stack(items)
         if self.sharding is not None:
+            from ..parallel import put_global
             import jax
             batch = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, self.sharding), batch)
+                lambda x: put_global(x, self.sharding), batch)
         return batch
 
     def __iter__(self):

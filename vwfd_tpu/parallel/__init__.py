@@ -82,13 +82,43 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(x, sharding: NamedSharding):
+    """Place one host array under `sharding`, multi-process aware.
+
+    Single-process: plain `device_put`. Multi-process (after
+    `maybe_init_distributed`): `device_put` cannot target non-addressable
+    devices, so each process contributes its *local* chunk of the global
+    array via `jax.make_array_from_process_local_data` — for a replicated
+    sharding that chunk is the full array (every host computes/loads the
+    same values), for a batch-dim sharding it is this process's contiguous
+    row block (the per-rank `batch_size // world_size` split of the
+    reference, data/__init__.py:16-17)."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding,
+                                                      np.asarray(x))
+    return jax.device_put(x, sharding)
+
+
 def shard_batch(batch, mesh: Mesh, spec: Optional[NamedSharding] = None):
     """Place a host batch (pytree) on the mesh, sharded on the leading dim."""
     sh = spec or batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(lambda x: put_global(x, sh), batch)
 
 
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params/opt state) across the mesh."""
     sh = replicated(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(lambda x: put_global(x, sh), tree)
+
+
+def local_batch_slice(global_batch_size: int):
+    """This process's contiguous row range [lo, hi) of a global batch —
+    the DistIterSampler per-rank split (data/data_sampler.py:31-40), made
+    contiguous because a 1-D mesh built from `jax.devices()` orders devices
+    process-major, so process p owns rows [p*B/P, (p+1)*B/P)."""
+    pc = jax.process_count()
+    assert global_batch_size % pc == 0, (
+        f"global batch {global_batch_size} must divide process count {pc}")
+    per = global_batch_size // pc
+    lo = jax.process_index() * per
+    return lo, lo + per
