@@ -28,7 +28,7 @@ def main():
     ap.add_argument("--tiny", action="store_true", help="CPU smoke config")
     ap.add_argument("--steps", type=int, default=None)
     ap.add_argument("--batch", type=int, default=None)
-    ap.add_argument("--chunk", type=int, default=8,
+    ap.add_argument("--chunk", type=int, default=16,
                     help="pipeline steps fused per dispatch (lax.scan): the "
                     "tunnel/dispatch overhead (~12 ms measured) amortizes "
                     "over chunk×batch×frames frames")
@@ -44,6 +44,9 @@ def main():
                     help="tamper-mask extractor: unet_tpu (MXU-shaped "
                          "redesign, flagship default — F1 parity shown in "
                          "BASELINE.md r3) | unet (reference-exact)")
+    ap.add_argument("--s2d", type=int, default=2,
+                    help="UNetTPU space-to-depth stem factor (2 flagship; "
+                         "4 = coarser/faster experiment)")
     ap.add_argument("--train", action="store_true",
                     help="bench the full training step (fwd+attack+bwd+2×AdamW)"
                          " instead of the inference pipeline")
@@ -69,7 +72,8 @@ def main():
         # NB: inn_subnet='res_pallas' (the fused coupling kernel) measured
         # SLOWER in-context (embed 83.6 vs 35.4 ms — BASELINE.md r2 table);
         # per-call micro-benches flattered it via dispatch pipelining.
-        mc = ModelConfig(inn_subnet=args.subnet, extractor=args.extractor)
+        mc = ModelConfig(inn_subnet=args.subnet, extractor=args.extractor,
+                         extractor_s2d=args.s2d)
         ratios = None
 
     from vwfd_tpu.config import TrainConfig

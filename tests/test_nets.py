@@ -173,3 +173,22 @@ def test_inn_invertibility_res_tpu(rng):
     assert float(jnp.abs(y - x).max()) > 1e-2  # genuinely non-identity now
     x_rec, _ = model.apply(params, y, rev=True)
     assert float(jnp.abs(x_rec - x).max()) < 1e-3
+
+
+def test_unet_tpu_slim_skip(rng):
+    """slim_skip variant: same output contract, skip projections present,
+    decoder convs see 1.5c input channels (BASELINE.md r3 follow-up)."""
+    import jax
+    from vwfd_tpu.nets import UNetTPU
+
+    net = UNetTPU(out_channels=1, init_features=8, slim_skip=True)
+    x = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    v = net.init(jax.random.PRNGKey(0), x)
+    y = net.apply(v, x, train=False)
+    assert y.shape == (2, 32, 32, 1)
+    assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+    p = v["params"]
+    assert "dec4_skipproj" in p, sorted(p)
+    # dec4 conv input = up(f*8) + projected skip (f*8 // 2) = 1.5 * f * 8
+    f = 8
+    assert p["dec4_conv"]["kernel"].shape[2] == f * 8 + f * 8 // 2

@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--subnet", default="res",
                     help="INN coupling subnet: res (reference-exact) | "
                          "res_tpu (MXU-shaped) | dense")
+    ap.add_argument("--s2d", type=int, default=2,
+                    help="UNetTPU space-to-depth stem factor")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -51,7 +53,8 @@ def main():
     cfg = Config(
         data=DataConfig(gt_size=args.size, batch_size=args.batch,
                         frames=args.frames),
-        model=ModelConfig(extractor=args.extractor, inn_subnet=args.subnet),
+        model=ModelConfig(extractor=args.extractor, inn_subnet=args.subnet,
+                          extractor_s2d=args.s2d),
         train=TrainConfig(forward_criterion=args.criterion))
     if args.root:
         from vwfd_tpu.data.davis import DavisVideoDataset

@@ -46,9 +46,12 @@ class ModelConfig:
     unet_features: int = 32
     # Tamper-mask extractor: "unet" = reference-exact network/UNet.py (loads
     # converted reference checkpoints); "unet_tpu" = the MXU-shaped redesign
-    # (nets/unet.py::UNetTPU) — the flagship/bench choice (BASELINE.md r3).
+    # (nets/unet.py::UNetTPU) — the flagship/bench choice (BASELINE.md r3);
+    # "unet_tpu_slim" = unet_tpu with half-width 1×1 skip projections
+    # (−25% decoder FLOPs — a perf experiment, see BASELINE.md).
     extractor: str = "unet"
     extractor_features: int = 64        # UNetTPU channel base
+    extractor_s2d: int = 2              # UNetTPU space-to-depth stem factor
     localizer_dim: int = 16
     localizer_residual_blocks: int = 2
     discriminator_dim: int = 32

@@ -73,9 +73,11 @@ class VideoWatermarkModel:
             block_num=mc.inn_block_num, subnet=mc.inn_subnet,
             width=mc.inn_width, fused_st=mc.fused_st,
             dtype=self.compute_dtype)
-        if mc.extractor == "unet_tpu":
+        if mc.extractor in ("unet_tpu", "unet_tpu_slim"):
             self.unet = UNetTPU(out_channels=1,
                                 init_features=mc.extractor_features,
+                                slim_skip=mc.extractor == "unet_tpu_slim",
+                                s2d=mc.extractor_s2d,
                                 dtype=self.compute_dtype)
         else:
             self.unet = UNet(out_channels=1, init_features=mc.unet_features,

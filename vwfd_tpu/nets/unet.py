@@ -132,6 +132,12 @@ class UNetTPU(nn.Module):
     s2d: int = 2
     apply_sigmoid: bool = True
     dtype: object = None  # compute dtype; params/output stay f32
+    # 1×1-project each encoder skip to half its channels before the decoder
+    # concat: the decoder 3×3s (60% of the net's FLOPs) see 1.5c instead of
+    # 2c input channels (−25% decoder FLOPs for a ~c²·HW projection). Off by
+    # default until convergence parity is shown (ModelConfig.extractor
+    # 'unet_tpu_slim' selects it).
+    slim_skip: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -159,6 +165,9 @@ class UNetTPU(nn.Module):
                                     name=name)(z)
 
         def dec(z, skip, feats, name):
+            if self.slim_skip:
+                skip = nn.Conv(skip.shape[-1] // 2, (1, 1), use_bias=False,
+                               dtype=dt, name=f"{name}_skipproj")(skip)
             z = jnp.concatenate([z, skip], -1)
             z = nn.Conv(feats, (3, 3), padding=1, use_bias=False,
                         kernel_init=nn.initializers.kaiming_normal(),
