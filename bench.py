@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--s2d", type=int, default=2,
                     help="UNetTPU space-to-depth stem factor (2 flagship; "
                          "4 = coarser/faster experiment)")
+    ap.add_argument("--efeatures", type=int, default=64,
+                    help="UNetTPU channel base (extractor_features)")
     ap.add_argument("--train", action="store_true",
                     help="bench the full training step (fwd+attack+bwd+2×AdamW)"
                          " instead of the inference pipeline")
@@ -73,7 +75,8 @@ def main():
         # SLOWER in-context (embed 83.6 vs 35.4 ms — BASELINE.md r2 table);
         # per-call micro-benches flattered it via dispatch pipelining.
         mc = ModelConfig(inn_subnet=args.subnet, extractor=args.extractor,
-                         extractor_s2d=args.s2d)
+                         extractor_s2d=args.s2d,
+                         extractor_features=args.efeatures)
         ratios = None
 
     from vwfd_tpu.config import TrainConfig

@@ -38,6 +38,8 @@ def main():
                          "res_tpu (MXU-shaped) | dense")
     ap.add_argument("--s2d", type=int, default=2,
                     help="UNetTPU space-to-depth stem factor")
+    ap.add_argument("--efeatures", type=int, default=64,
+                    help="UNetTPU channel base")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -54,7 +56,8 @@ def main():
         data=DataConfig(gt_size=args.size, batch_size=args.batch,
                         frames=args.frames),
         model=ModelConfig(extractor=args.extractor, inn_subnet=args.subnet,
-                          extractor_s2d=args.s2d),
+                          extractor_s2d=args.s2d,
+                          extractor_features=args.efeatures),
         train=TrainConfig(forward_criterion=args.criterion))
     if args.root:
         from vwfd_tpu.data.davis import DavisVideoDataset
