@@ -3,10 +3,11 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The pipeline measured is the flagship inference path (the BASELINE.json
-headline): INN watermark embed (12-ch, block_num (1,1,1), MXU-shaped res_tpu
-coupling trunks) → 5-way per-frame attack pool (resize/JPEG×2/median/gauss)
-→ UNetTPU tamper-mask extraction, at 256². Reference-exact architectures
-remain selectable (--subnet res --extractor unet).
+headline): INN watermark embed (12-ch, block_num (1,1,1), MXU-shaped
+half-res res_tpu2 coupling trunks) → 5-way per-frame attack pool
+(resize/JPEG×2/median/gauss) → UNetTPU tamper-mask extraction, at 256².
+Reference-exact architectures remain selectable (--subnet res --extractor
+unet).
 
 `vs_baseline` divides by REFERENCE_GPU_FPS — the estimated reference
 throughput of the same pipeline in the PyTorch repo on one A100-class GPU
@@ -36,9 +37,10 @@ def main():
                     help="also time embed/attack/extract separately (stderr)")
     ap.add_argument("--dtype", type=str, default="bfloat16",
                     help="compute dtype: bfloat16 | float32")
-    ap.add_argument("--subnet", type=str, default="res_tpu",
-                    help="INN coupling subnet: res_tpu (MXU-shaped flagship "
-                         "default — parity in BASELINE.md r3) | res "
+    ap.add_argument("--subnet", type=str, default="res_tpu2",
+                    help="INN coupling subnet: res_tpu2 (half-res MXU-shaped "
+                         "trunk, flagship default — parity in BASELINE.md r3) "
+                         "| res_tpu (full-res MXU-shaped) | res "
                          "(reference-exact) | res_pallas (fused kernel)")
     ap.add_argument("--extractor", type=str, default="unet_tpu",
                     help="tamper-mask extractor: unet_tpu (MXU-shaped "
@@ -49,6 +51,9 @@ def main():
                          "4 = coarser/faster experiment)")
     ap.add_argument("--efeatures", type=int, default=64,
                     help="UNetTPU channel base (extractor_features)")
+    ap.add_argument("--block-num", type=str, default=None,
+                    help="INN coupling schedule override, e.g. '0,2,1' "
+                         "(default: reference 1,1,1)")
     ap.add_argument("--train", action="store_true",
                     help="bench the full training step (fwd+attack+bwd+2×AdamW)"
                          " instead of the inference pipeline")
@@ -76,7 +81,10 @@ def main():
         # per-call micro-benches flattered it via dispatch pipelining.
         mc = ModelConfig(inn_subnet=args.subnet, extractor=args.extractor,
                          extractor_s2d=args.s2d,
-                         extractor_features=args.efeatures)
+                         extractor_features=args.efeatures,
+                         **({"inn_block_num": tuple(
+                             int(s) for s in args.block_num.split(","))}
+                            if args.block_num else {}))
         ratios = None
 
     from vwfd_tpu.config import TrainConfig

@@ -2,6 +2,7 @@
 smoke check, invertible_net.py:534-562), gradient flow."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -147,11 +148,13 @@ def test_unet_tpu_shapes_and_grads(rng):
     assert float(optax.global_norm(g)) > 0
 
 
-def test_inn_invertibility_res_tpu(rng):
-    """The MXU-shaped trunk keeps exact invertibility (same coupling math,
-    different subnet parameterization)."""
+@pytest.mark.parametrize("subnet", ["res_tpu", "res_tpu2"])
+def test_inn_invertibility_res_tpu(rng, subnet):
+    """The MXU-shaped trunks keep exact invertibility (same coupling math,
+    different subnet parameterization); res_tpu2 additionally computes the
+    trunk at half spatial resolution (space-to-depth)."""
     model = nets.InvertibleNet(channels=4, down_num=2, block_num=(1, 1),
-                               subnet="res_tpu")
+                               subnet=subnet)
     x = jnp.asarray(rng.random((1, 16, 16, 4), dtype=np.float32))
     params = model.init(jax.random.PRNGKey(0), x)
     y = model.apply(params, x)

@@ -1,6 +1,7 @@
 """XLA cost analysis (FLOPs / bytes) for each bench pipeline stage —
 timing-free and therefore reliable through the axon tunnel."""
 
+import argparse
 import os
 import sys
 
@@ -10,6 +11,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--subnet", default="res")
+    ap.add_argument("--extractor", default="unet")
+    ap.add_argument("--s2d", type=int, default=2)
+    ap.add_argument("--efeatures", type=int, default=64)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -18,7 +26,11 @@ def main():
     from vwfd_tpu.attacks import attack_pool_video
 
     cfg = Config(data=DataConfig(gt_size=256, frames=4, batch_size=32),
-                 model=ModelConfig(), train=TrainConfig(dtype="bfloat16"))
+                 model=ModelConfig(inn_subnet=args.subnet,
+                                   extractor=args.extractor,
+                                   extractor_s2d=args.s2d,
+                                   extractor_features=args.efeatures),
+                 train=TrainConfig(dtype="bfloat16"))
     model = VideoWatermarkModel(cfg)
     states = model.init_states(jax.random.PRNGKey(0))
     video = jnp.zeros((32, 4, 256, 256, 3), jnp.float32)

@@ -53,9 +53,12 @@ def main():
     @jax.jit
     def pipeline(v, k):
         k, k_atk = jax.random.split(k)
-        fwd = model.embed(states, v)
-        attacked = jnp.clip(attack_pool_video(k_atk, fwd), 0.0, 1.0)
-        mask = model.predict_mask(states, attacked, train=False)
+        with jax.named_scope("Sembed"):
+            fwd = model.embed(states, v)
+        with jax.named_scope("Sattack"):
+            attacked = jnp.clip(attack_pool_video(k_atk, fwd), 0.0, 1.0)
+        with jax.named_scope("Sextract"):
+            mask = model.predict_mask(states, attacked, train=False)
         return jnp.mean(fwd), jnp.mean(mask), attacked
 
     # warm up / compile
@@ -94,6 +97,7 @@ def main():
                    if "TPU" in n or "/device" in n.lower()}
     agg = defaultdict(float)
     cnt = defaultdict(int)
+    stage = defaultdict(float)  # named_scope (Sembed/Sattack/Sextract) → ms
     total = 0.0
     for e in events:
         if e.get("ph") != "X":
@@ -109,12 +113,28 @@ def main():
         agg[name] += dur
         cnt[name] += 1
         total += dur
+        # stage attribution: XLA keeps the jax named_scope in the op metadata
+        # (args.long_name / args.tf_op); a fused op may span scopes — credit
+        # the first one mentioned
+        meta = " ".join(str(v) for v in (e.get("args") or {}).values())
+        if name.startswith("jit_"):
+            continue  # whole-module event: not an op
+        for s in ("Sembed", "Sattack", "Sextract"):
+            if s in meta:
+                stage[s] += dur
+                break
+        else:
+            stage["(unattributed)"] += dur
     if not agg:
         print("no device events matched; process names:",
               sorted(set(proc_names.values())))
         return
     print(f"total device op time: {total:.1f} ms over {args.steps} steps "
           f"({total/args.steps:.1f} ms/step)")
+    if stage:
+        parts = ", ".join(f"{k}={v/args.steps:.1f} ms" for k, v in
+                          sorted(stage.items(), key=lambda kv: -kv[1]))
+        print(f"per-stage (named_scope): {parts}")
     rows = sorted(agg.items(), key=lambda kv: -kv[1])[:args.top]
     for name, ms in rows:
         print(f"{ms/args.steps:9.3f} ms/step  ×{cnt[name]//args.steps:<4d} "

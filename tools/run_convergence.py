@@ -40,6 +40,9 @@ def main():
                     help="UNetTPU space-to-depth stem factor")
     ap.add_argument("--efeatures", type=int, default=64,
                     help="UNetTPU channel base")
+    ap.add_argument("--block-num", default=None,
+                    help="INN coupling schedule, e.g. '0,2,1' (default: "
+                         "reference 1,1,1)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -57,7 +60,10 @@ def main():
                         frames=args.frames),
         model=ModelConfig(extractor=args.extractor, inn_subnet=args.subnet,
                           extractor_s2d=args.s2d,
-                          extractor_features=args.efeatures),
+                          extractor_features=args.efeatures,
+                          **({"inn_block_num": tuple(
+                              int(s) for s in args.block_num.split(","))}
+                             if args.block_num else {})),
         train=TrainConfig(forward_criterion=args.criterion))
     if args.root:
         from vwfd_tpu.data.davis import DavisVideoDataset
@@ -112,6 +118,15 @@ def main():
 
     out_path = args.out or f"/tmp/convergence_{args.criterion}.jsonl"
     f = open(out_path, "w")
+    # stamp the net config so logs are self-describing (r3 lesson: a session
+    # restart orphaned logs whose configs lived only in shell history)
+    f.write(json.dumps({"config": {
+        "subnet": args.subnet, "extractor": args.extractor,
+        "s2d": args.s2d, "efeatures": args.efeatures,
+        "block_num": args.block_num or "1,1,1", "size": args.size,
+        "batch": args.batch, "frames": args.frames,
+        "criterion": args.criterion}}) + "\n")
+    f.flush()
     prev = None
     step = 0
     t0 = time.time()

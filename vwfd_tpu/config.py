@@ -32,6 +32,11 @@ class ModelConfig:
     """Reference: models/IRNcrop_model.py:121-143 net construction."""
     inn_down_num: int = 3
     inn_block_num: Tuple[int, ...] = (1, 1, 1)
+    # Coupling subnet: "res" = reference-exact ResBlock trunk; "dense" =
+    # reference DenseBlock; "res_tpu" = MXU-shaped 128-wide trunk; "res_tpu2"
+    # = res_tpu computed at half spatial resolution for <256-ch couplings
+    # (bandwidth cut — see nets/inn.py::ResSubnetTPUS2); "res_pallas" = fused
+    # Pallas kernel (A/B tool, slower in-context — BASELINE.md r2).
     inn_subnet: str = "res"
     inn_width: int = 0            # coupling trunk width (0 = reference's 64)
     # fused_st=True: each coupling (s,t) pair from ONE trunk with a
@@ -48,7 +53,9 @@ class ModelConfig:
     # converted reference checkpoints); "unet_tpu" = the MXU-shaped redesign
     # (nets/unet.py::UNetTPU) — the flagship/bench choice (BASELINE.md r3);
     # "unet_tpu_slim" = unet_tpu with half-width 1×1 skip projections
-    # (−25% decoder FLOPs — a perf experiment, see BASELINE.md).
+    # (−25% decoder FLOPs — a perf experiment, see BASELINE.md);
+    # "unet_tpu2" = unet_tpu with single-conv encoder levels (halves extract
+    # FLOPs/intermediate bytes — convergence-validated, BASELINE.md r3).
     extractor: str = "unet"
     extractor_features: int = 64        # UNetTPU channel base
     extractor_s2d: int = 2              # UNetTPU space-to-depth stem factor

@@ -73,10 +73,12 @@ class VideoWatermarkModel:
             block_num=mc.inn_block_num, subnet=mc.inn_subnet,
             width=mc.inn_width, fused_st=mc.fused_st,
             dtype=self.compute_dtype)
-        if mc.extractor in ("unet_tpu", "unet_tpu_slim"):
+        if mc.extractor in ("unet_tpu", "unet_tpu_slim", "unet_tpu2"):
             self.unet = UNetTPU(out_channels=1,
                                 init_features=mc.extractor_features,
                                 slim_skip=mc.extractor == "unet_tpu_slim",
+                                enc_convs=1 if mc.extractor == "unet_tpu2"
+                                else 2,
                                 s2d=mc.extractor_s2d,
                                 dtype=self.compute_dtype)
         else:

@@ -112,6 +112,49 @@ class ResSubnetTPU(nn.Module):
             jnp.concatenate([x, h], -1))
 
 
+class ResSubnetTPUS2(nn.Module):
+    """`ResSubnetTPU` with the trunk computed at HALF spatial resolution.
+
+    The r3 cost analysis (BASELINE.md) shows the embed INN is *bandwidth*-
+    bound (17.2 GB/step vs a 21 ms HBM roof at b32/256²), and that the bytes
+    concentrate in the high-res couplings' 128-channel trunk intermediates
+    (128²×128 bf16 = 4 MB/frame per conv output). This trunk space-to-depths
+    its input 2× (H,W,C → H/2,W/2,4C), runs the same two 128-wide 3×3 convs
+    there (4× smaller intermediates, ~2.4× fewer trunk FLOPs, ~6×6 effective
+    receptive field), and emits a depth-to-space-packed head (1×1 to
+    4·out_channels, zero-init so couplings still start at identity).
+
+    Same role/interface as `ResSubnet` (invertible_net.py:326-366). Selected
+    by `ModelConfig.inn_subnet = "res_tpu2"`; couplings with ≥256 channels
+    fall back to `res_tpu` (their spatial dims are already small, and the
+    s2d head would 4× the 1×1's contraction — a net loss at 768 channels).
+    Quality parity vs `res_tpu` is convergence-validated (BASELINE.md r3).
+    """
+    out_channels: int
+    feature: int = 128
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        init = scaled_glorot(0.1)
+        dt = self.dtype
+        if dt is not None:
+            x = x.astype(dt)
+        b, hh, ww, c = x.shape
+        z = x.reshape(b, hh // 2, 2, ww // 2, 2, c)
+        z = z.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh // 2, ww // 2, 4 * c)
+        h = nn.elu(nn.Conv(self.feature, (3, 3), padding=1, kernel_init=init,
+                           dtype=dt)(z))
+        h = nn.elu(nn.Conv(self.feature, (3, 3), padding=1, kernel_init=init,
+                           dtype=dt)(h))
+        out = nn.Conv(4 * self.out_channels, (1, 1),
+                      kernel_init=nn.initializers.zeros, dtype=dt)(
+            jnp.concatenate([z, h], -1))
+        out = out.reshape(b, hh // 2, ww // 2, 2, 2, self.out_channels)
+        return out.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, hh, ww, self.out_channels)
+
+
 class PallasSubnet(nn.Module):
     """ResSubnet with the fused Pallas TPU kernel as its forward
     (nets/pallas_coupling.py): identical math and the SAME param tree
@@ -140,7 +183,7 @@ class PallasSubnet(nn.Module):
 
 
 _SUBNETS = {"res": ResSubnet, "dense": DenseSubnet, "res_tpu": ResSubnetTPU,
-            "res_pallas": PallasSubnet}
+            "res_tpu2": ResSubnetTPUS2, "res_pallas": PallasSubnet}
 
 
 def _e(s):
@@ -176,6 +219,11 @@ class RNVPCoupling(nn.Module):
             # kernel's small-M tiles lose; the param tree is identical either
             # way so checkpoints are unaffected
             subnet = "res"
+        if subnet == "res_tpu2" and self.channels >= 256:
+            # deep couplings keep the full-res trunk: spatial dims are already
+            # small and the s2d-packed 1×1 head would 4× its contraction cost
+            # at 768 channels (see ResSubnetTPUS2 docstring)
+            subnet = "res_tpu"
         sub = _SUBNETS[subnet]
         kw = {}
         if self.width:

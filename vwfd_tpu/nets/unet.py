@@ -17,10 +17,11 @@ import flax.linen as nn
 class _DoubleConv(nn.Module):
     features: int
     dtype: object = None
+    convs: int = 2  # UNetTPU(enc_convs=1) shrinks encoder levels to one conv
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        for _ in range(2):
+        for _ in range(self.convs):
             x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                         kernel_init=nn.initializers.kaiming_normal(),
                         dtype=self.dtype)(x)
@@ -138,6 +139,12 @@ class UNetTPU(nn.Module):
     # default until convergence parity is shown (ModelConfig.extractor
     # 'unet_tpu_slim' selects it).
     slim_skip: bool = False
+    # Encoder convs per level. 1 = single-conv encoder ("unet_tpu2"): the r3
+    # cost analysis shows the extractor carries 2× the embed INN's FLOPs and
+    # the second encoder conv of each level is ~70% of encoder cost; the
+    # decoder already runs single-conv stages. Convergence-validated in
+    # BASELINE.md r3 before becoming anyone's default.
+    enc_convs: int = 2
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -150,14 +157,15 @@ class UNetTPU(nn.Module):
         x = x.reshape(b, h // s, s, w // s, s, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // s, w // s, s * s * c)
 
-        enc1 = _DoubleConv(f, dtype=dt, name="enc1")(x, train)
-        enc2 = _DoubleConv(f * 2, dtype=dt, name="enc2")(
+        ec = self.enc_convs
+        enc1 = _DoubleConv(f, dtype=dt, convs=ec, name="enc1")(x, train)
+        enc2 = _DoubleConv(f * 2, dtype=dt, convs=ec, name="enc2")(
             nn.max_pool(enc1, (2, 2), (2, 2)), train)
-        enc3 = _DoubleConv(f * 4, dtype=dt, name="enc3")(
+        enc3 = _DoubleConv(f * 4, dtype=dt, convs=ec, name="enc3")(
             nn.max_pool(enc2, (2, 2), (2, 2)), train)
-        enc4 = _DoubleConv(f * 8, dtype=dt, name="enc4")(
+        enc4 = _DoubleConv(f * 8, dtype=dt, convs=ec, name="enc4")(
             nn.max_pool(enc3, (2, 2), (2, 2)), train)
-        bott = _DoubleConv(f * 16, dtype=dt, name="bottleneck")(
+        bott = _DoubleConv(f * 16, dtype=dt, convs=ec, name="bottleneck")(
             nn.max_pool(enc4, (2, 2), (2, 2)), train)
 
         def up(z, feats, name):
