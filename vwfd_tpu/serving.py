@@ -1,0 +1,248 @@
+"""Production serving runtime for the video watermarking pipeline.
+
+The reference repo has no serving stack: inference happens as a side effect
+of validation inside the trainers (per-clip Python loops over eager torch —
+`models/IRNcrop_model.py:520-607`) or one-off export scripts
+(`models/IRNp_model.py:461-491`). This module is the TPU-native production
+path for the two deployable operations:
+
+  * ``embed``  — watermark a clip (INN forward + clamp + 8-bit STE quantize)
+  * ``detect`` — per-frame tamper-mask logits → uint8 mask / clip verdict
+
+designed around how TPUs actually serve:
+
+  * **AOT compilation.** Both programs are lowered and compiled at
+    construction for ONE static clip shape (``jax.jit(...).lower().compile()``)
+    — no first-request compile spike, no silent retrace on a stray shape
+    (off-shape requests are padded or rejected, never recompiled).
+  * **uint8 wire format.** Frames cross host→device as uint8 and results
+    come back as uint8 — 4× fewer bytes each way than float32 over
+    PCIe / the axon tunnel. Normalisation to [0,1] happens on device, where
+    it fuses into the first conv. The embed output is *exactly* representable
+    in uint8 (the model's STE quantizer already rounds to 8-bit levels), so
+    the wire format costs zero fidelity.
+  * **Async double-buffering.** ``serve_stream`` keeps a bounded window of
+    in-flight requests: the host uploads clip N+1 and dispatches its program
+    while clip N computes (JAX async dispatch), and only blocks on the
+    oldest result when the window is full. Host↔device transfer overlaps
+    compute with no threads and no explicit events.
+  * **Tail padding.** A final partial batch is padded to the compiled batch
+    size and the outputs trimmed — per-sample independence of both programs
+    (eval-mode nets) makes this exact.
+  * **Data-parallel mesh.** Pass ``mesh=`` to shard the request batch over
+    devices with the same ``NamedSharding`` the trainers use; results gather
+    transparently. One compiled executable serves N chips.
+
+Quality/throughput points are config-driven: the flagship nets
+(``res_tpu2`` + ``unet_tpu``, F1 0.965) by default, or the validated
+frontier (``extractor_s2d=4`` … 15.4× baseline) for coarse-mask /
+clip-verdict serving — see BASELINE.md.
+"""
+
+from typing import Dict, Iterable, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .models.state import latest_step, restore_checkpoint
+from .models.video_model import VideoWatermarkModel
+
+__all__ = ["WatermarkServer", "ServeResult"]
+
+
+class ServeResult:
+    """One served clip batch. Holds device arrays; converts lazily so the
+    pipeline never blocks before the consumer actually needs the bytes."""
+
+    __slots__ = ("_arrays", "n")
+
+    def __init__(self, arrays: Dict[str, jnp.ndarray], n: int):
+        self._arrays = arrays
+        self.n = n  # valid rows (≤ compiled batch; rest is tail padding)
+
+    def __getattr__(self, name):
+        try:
+            arr = self._arrays[name]
+        except KeyError:
+            raise AttributeError(name) from None
+        return np.asarray(arr)[: self.n]
+
+    def keys(self):
+        return self._arrays.keys()
+
+
+def _sigmoid_mask_u8(logits, threshold):
+    """Per-frame tamper mask as uint8 {0,255} from UNet logits.
+
+    sigmoid(x) > t  ⇔  x > logit(t): compare in logit space so the
+    threshold costs one compare, not a transcendental per pixel."""
+    logit_t = jnp.log(threshold) - jnp.log1p(-threshold)
+    return (logits > logit_t).astype(jnp.uint8) * jnp.uint8(255)
+
+
+class WatermarkServer:
+    """AOT-compiled, double-buffered server for watermark embed / detect.
+
+    Parameters
+    ----------
+    cfg : Config
+        Framework config — ``cfg.data`` fixes the compiled clip shape
+        (batch_size, frames, gt_size); ``cfg.model`` picks the nets.
+    ckpt_dir : str, optional
+        Orbax checkpoint directory written by the trainers; latest (or
+        ``step``) restored. Without it the server serves random-init params
+        (pipeline smoke tests).
+    modes : tuple of {"embed", "detect"}
+        Which programs to compile (compile only what the deployment uses).
+    mesh : jax.sharding.Mesh, optional
+        Data-parallel serving: request batches shard over the ``data`` axis,
+        params replicate. ``cfg.data.batch_size`` must divide by the mesh's
+        data-axis size.
+    threshold : float
+        Mask binarisation threshold (reference protocol thresholds live in
+        ``calculate_f1``'s 0.1–0.9 sweep; 0.5 is the serving default).
+    """
+
+    def __init__(self, cfg: Config, ckpt_dir: Optional[str] = None,
+                 step: Optional[int] = None,
+                 modes: Tuple[str, ...] = ("embed", "detect"),
+                 mesh=None, threshold: float = 0.5):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.batch = cfg.data.batch_size
+        self.frames = cfg.data.frames
+        self.size = cfg.data.gt_size
+        self.threshold = float(threshold)
+
+        self.model = VideoWatermarkModel(cfg, mesh=mesh)
+        states = self.model.init_states(jax.random.PRNGKey(0))
+        if ckpt_dir is not None:
+            at = step if step is not None else latest_step(ckpt_dir)
+            if at is None:
+                raise FileNotFoundError(
+                    f"no checkpoint steps under {ckpt_dir!r}")
+            states = restore_checkpoint(ckpt_dir, at, states)
+            if mesh is not None:
+                from .parallel import replicate
+                states = replicate(states, mesh)
+        # Serving is stateless: only params/variables ride along (optimizer
+        # state stays in the checkpoint, not in server memory).
+        self._params = {
+            "netG": (states["netG"].params, states["netG"].variables),
+            "generator": (states["generator"].params,
+                          states["generator"].variables),
+        }
+        self._states_stub = states
+
+        self._in_sharding = None
+        if mesh is not None:
+            from .parallel import video_sharding
+            self._in_sharding = video_sharding(mesh)
+
+        shape = (self.batch, self.frames, self.size, self.size, 3)
+        x_spec = jax.ShapeDtypeStruct(shape, jnp.uint8)
+        if self._in_sharding is not None:
+            x_spec = jax.ShapeDtypeStruct(shape, jnp.uint8,
+                                          sharding=self._in_sharding)
+        # Params are ARGUMENTS of the compiled programs, not closure
+        # captures — capturing them would bake ~10M weights into the HLO as
+        # constants (slow compiles, full recompile on every checkpoint swap).
+        p_spec = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                           sharding=getattr(a, "sharding",
+                                                            None)),
+            self._params)
+
+        self._compiled = {}
+        if "embed" in modes:
+            self._compiled["embed"] = (
+                jax.jit(self._embed_u8).lower(p_spec, x_spec).compile())
+        if "detect" in modes:
+            self._compiled["detect"] = (
+                jax.jit(self._detect_u8).lower(p_spec, x_spec).compile())
+
+    # ---------------------------------------------------------- device fns
+
+    def _wrap_states(self, params):
+        s = dict(self._states_stub)
+        for name, (p, v) in params.items():
+            s[name] = s[name].replace(params=p, variables=v)
+        return s
+
+    def _embed_u8(self, params, x_u8):
+        video = x_u8.astype(jnp.float32) / 255.0
+        fwd = self.model.embed(self._wrap_states(params), video)
+        # embed() ends in ste_quantize_255: every value is already k/255 —
+        # the uint8 round-trip is exact up to the one 8-bit level of jitter
+        # the bf16 trunk itself carries (same rounding the trainer's STE
+        # applies — scripts/generate_immunized.py's export protocol).
+        out = jnp.clip(fwd.astype(jnp.float32), 0.0, 1.0)
+        return {"watermarked": jnp.round(out * 255.0).astype(jnp.uint8)}
+
+    def _detect_u8(self, params, x_u8):
+        video = x_u8.astype(jnp.float32) / 255.0
+        logits = self.model.predict_mask(self._wrap_states(params), video,
+                                         train=False)
+        logits = logits.astype(jnp.float32)
+        mask = _sigmoid_mask_u8(logits, self.threshold)
+        # clip-level verdict: mean tampered fraction per clip — the serving
+        # analog of the reference's per-video F1 bookkeeping
+        # (IRNcrop_model.py:581-607) when no GT mask exists at runtime.
+        frac = jnp.mean(jax.nn.sigmoid(logits), axis=(1, 2, 3, 4))
+        return {"mask": mask, "tamper_fraction": frac}
+
+    # ------------------------------------------------------------- serving
+
+    def _put(self, clip_u8: np.ndarray) -> Tuple[jnp.ndarray, int]:
+        """Host→device upload with tail padding to the compiled batch."""
+        n = clip_u8.shape[0]
+        want = (self.batch, self.frames, self.size, self.size, 3)
+        if clip_u8.dtype != np.uint8:
+            raise TypeError(f"serving wire format is uint8, got "
+                            f"{clip_u8.dtype} (scale to 0..255 on the host)")
+        if clip_u8.shape[1:] != want[1:] or n > self.batch:
+            raise ValueError(f"compiled clip shape is {want}, got "
+                             f"{clip_u8.shape} — the server never retraces; "
+                             f"start one per shape")
+        if n < self.batch:
+            pad = np.zeros((self.batch - n,) + want[1:], np.uint8)
+            clip_u8 = np.concatenate([clip_u8, pad], axis=0)
+        if self._in_sharding is not None:
+            dev = jax.device_put(clip_u8, self._in_sharding)
+        else:
+            dev = jax.device_put(clip_u8)
+        return dev, n
+
+    def serve(self, clip_u8: np.ndarray, mode: str) -> ServeResult:
+        """One synchronous-looking request (dispatch is still async — the
+        result blocks only when its arrays are read)."""
+        dev, n = self._put(clip_u8)
+        return ServeResult(self._compiled[mode](self._params, dev), n)
+
+    def serve_stream(self, clips: Iterable[np.ndarray], mode: str,
+                     window: int = 2) -> Iterator[ServeResult]:
+        """Pipelined serving: keeps ≤ ``window`` request batches in flight.
+
+        Upload + dispatch of request N+1 proceeds while N computes; the
+        oldest result is yielded (and thereby allowed to block) only when
+        the window is full or the input is exhausted. ``window=2`` is
+        classic double-buffering; raise it to hide a slower host link."""
+        if mode not in self._compiled:
+            raise KeyError(f"mode {mode!r} not compiled "
+                           f"(modes={tuple(self._compiled)})")
+        inflight = []
+        for clip in clips:
+            inflight.append(self.serve(clip, mode))
+            if len(inflight) >= max(1, window):
+                yield inflight.pop(0)
+        while inflight:
+            yield inflight.pop(0)
+
+    # ------------------------------------------------------------ metadata
+
+    def cost_analysis(self, mode: str):
+        """XLA cost analysis of a compiled program (FLOPs / bytes) — the
+        roofline inputs BASELINE.md's perf tables are built from."""
+        return self._compiled[mode].cost_analysis()
