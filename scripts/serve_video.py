@@ -102,6 +102,10 @@ def main():
     ap.add_argument("--s2d", type=int, default=None,
                     help="extractor_s2d override — 4 = the 15.4x coarse-mask "
                          "serving point (BASELINE.md frontier table)")
+    ap.add_argument("--export-dir", default=None,
+                    help="freeze the compiled program(s) as self-contained "
+                         "StableHLO artifacts (<mode>.vwfd) and exit — "
+                         "reload anywhere with serving.load_exported")
     args = ap.parse_args()
 
     import dataclasses
@@ -128,6 +132,15 @@ def main():
     server = WatermarkServer(cfg, ckpt_dir=args.ckpt, step=args.step,
                              modes=modes, threshold=args.threshold)
     compile_s = time.time() - t0
+
+    if args.export_dir:
+        os.makedirs(args.export_dir, exist_ok=True)
+        for m in modes:
+            p = os.path.join(args.export_dir, f"{m}.vwfd")
+            server.export_program(m, p)
+            print(json.dumps({"exported": p,
+                              "bytes": os.path.getsize(p)}))
+        return
 
     if args.synthetic:
         reqs = _iter_synthetic(args.synthetic, cfg.data.frames,

@@ -116,6 +116,31 @@ def test_mesh_sharded_serving_matches_single(rng):
         np.testing.assert_array_equal(a, b)
 
 
+def test_export_frozen_artifact_roundtrip(tmp_path, server, clip):
+    """export_program freezes a self-contained StableHLO artifact whose
+    outputs are bit-identical to the live server's — loadable with only
+    jax (no model code)."""
+    from vwfd_tpu.serving import load_exported
+
+    path = str(tmp_path / "detect.vwfd")
+    server.export_program("detect", path, platforms=("tpu", "cpu"))
+    call = load_exported(path)
+    out = call(clip)
+    ref = server.serve(clip, "detect")
+    np.testing.assert_array_equal(np.asarray(out["mask"]), ref.mask)
+    np.testing.assert_allclose(np.asarray(out["tamper_fraction"]),
+                               ref.tamper_fraction, rtol=1e-6)
+
+
+def test_export_rejects_mesh(tmp_path):
+    from vwfd_tpu.parallel import make_mesh
+
+    srv = WatermarkServer(_cfg(batch=4), mesh=make_mesh(4, axes=("data",)),
+                          modes=("embed",))
+    with pytest.raises(NotImplementedError):
+        srv.export_program("embed", str(tmp_path / "x.vwfd"))
+
+
 def test_checkpoint_restore_changes_outputs(tmp_path, clip):
     """Server restores trainer checkpoints: serve(ckpt) reflects trained
     params, not the init."""

@@ -49,7 +49,15 @@ from .config import Config
 from .models.state import latest_step, restore_checkpoint
 from .models.video_model import VideoWatermarkModel
 
-__all__ = ["WatermarkServer", "ServeResult"]
+__all__ = ["WatermarkServer", "ServeResult", "load_exported"]
+
+
+def load_exported(path: str):
+    """Load a frozen serving artifact written by
+    ``WatermarkServer.export_program`` and return its callable
+    (``uint8 clip batch → outputs dict``). Needs only jax — no model code."""
+    with open(path, "rb") as f:
+        return jax.export.deserialize(f.read()).call
 
 
 class ServeResult:
@@ -239,6 +247,30 @@ class WatermarkServer:
                 yield inflight.pop(0)
         while inflight:
             yield inflight.pop(0)
+
+    # ------------------------------------------------------------- export
+
+    def export_program(self, mode: str, path: str,
+                       platforms: Tuple[str, ...] = ("tpu", "cpu")) -> None:
+        """Freeze one serving program into a self-contained deployment
+        artifact (StableHLO via ``jax.export``): params are baked in as
+        constants, so the file runs with ``load_exported`` on any machine
+        with a listed platform — no vwfd_tpu, no model code, no retrace.
+        The runtime analog of the reference's ``.pth`` hand-off, minus the
+        python-side model zoo it requires."""
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "export freezes a single-device program; build the server "
+                "without mesh= to export, shard at load time instead")
+        fn = {"embed": self._embed_u8, "detect": self._detect_u8}[mode]
+        shape = (self.batch, self.frames, self.size, self.size, 3)
+        x_spec = jax.ShapeDtypeStruct(shape, jnp.uint8)
+        params = jax.tree_util.tree_map(np.asarray, self._params)
+        exported = jax.export.export(
+            jax.jit(lambda x: fn(params, x)), platforms=list(platforms)
+        )(x_spec)
+        with open(path, "wb") as f:
+            f.write(exported.serialize())
 
     # ------------------------------------------------------------ metadata
 
