@@ -23,6 +23,13 @@ def _batch(rng, b=2, s=32):
     return ImageBatch(img, canny, jnp.asarray(mask))
 
 
+def _snap(states, net):
+    """Host-side param snapshot — train_step donates `states`, so before/after
+    comparisons must copy out before the call."""
+    return [np.asarray(x)
+            for x in jax.tree_util.tree_leaves(states[net].params)]
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("task", ["pami", "clr"])
 def test_image_model_train_step(rng, task):
@@ -31,14 +38,14 @@ def test_image_model_train_step(rng, task):
     states = model.init_states(jax.random.PRNGKey(0))
     batch = _batch(rng)
     prev = jnp.clip(batch.image + 0.1, 0, 1)
+    before = _snap(states, "netG")
     new_states, logs = model.train_step(states, batch, prev, jax.random.PRNGKey(1))
     for k in ("loss", "lF", "lB", "l_mask", "PF"):
         assert np.isfinite(float(logs[k])), (k, logs[k])
     if task == "clr":
         assert np.isfinite(float(logs["l_apex"]))
-    before = jax.tree_util.tree_leaves(states["netG"].params)
     after = jax.tree_util.tree_leaves(new_states["netG"].params)
-    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+    assert any(not np.allclose(a, np.asarray(b))
                for a, b in zip(before, after))
 
 
@@ -77,13 +84,13 @@ def test_image_model_with_gan(rng):
     states = model.init_states(jax.random.PRNGKey(0))
     assert "discriminator" in states
     batch = _batch(rng)
+    before = _snap(states, "discriminator")
     new_states, logs = model.train_step(states, batch, batch.image,
                                         jax.random.PRNGKey(1))
     assert np.isfinite(float(logs["g_adv"]))
     assert np.isfinite(float(logs["d_loss"]))
-    before = jax.tree_util.tree_leaves(states["discriminator"].params)
     after = jax.tree_util.tree_leaves(new_states["discriminator"].params)
-    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+    assert any(not np.allclose(a, np.asarray(b))
                for a, b in zip(before, after))
 
 
@@ -95,12 +102,12 @@ def test_image_model_with_jpeg_simulator(rng):
     states = model.init_states(jax.random.PRNGKey(0))
     assert "jpeg_sim" in states
     batch = _batch(rng)
+    before = _snap(states, "jpeg_sim")
     new_states, logs = model.train_step(states, batch, batch.image,
                                         jax.random.PRNGKey(1))
     assert np.isfinite(float(logs["l_sim"]))
-    before = jax.tree_util.tree_leaves(states["jpeg_sim"].params)
     after = jax.tree_util.tree_leaves(new_states["jpeg_sim"].params)
-    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+    assert any(not np.allclose(a, np.asarray(b))
                for a, b in zip(before, after))
 
 
@@ -193,13 +200,13 @@ def test_jpeg_simulator_real_pair(rng):
     versions, _ = ds[0]
     jpeg_real = jnp.asarray(np.stack([versions[1], versions[1]]))  # QF 50
     qf = jnp.asarray([0.5, 0.5], jnp.float32)
+    before = _snap(states, "jpeg_sim")
     new_states, logs = model.train_step(states, batch, batch.image,
                                         jax.random.PRNGKey(1),
                                         jpeg_pair=(jpeg_real, qf))
     assert np.isfinite(float(logs["l_sim"]))
-    before = jax.tree_util.tree_leaves(states["jpeg_sim"].params)
     after = jax.tree_util.tree_leaves(new_states["jpeg_sim"].params)
-    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+    assert any(not np.allclose(a, np.asarray(b))
                for a, b in zip(before, after))
 
 

@@ -38,18 +38,53 @@ def test_train_step_updates_and_logs(model_and_states, rng):
     model, states = model_and_states
     batch = _batch(rng, TINY)
     prev = batch.video + 0.1
-    new_states, logs = model.train_step(states, batch, prev, jax.random.PRNGKey(1))
+    # train_step donates `states`; snapshot params host-side and donate a
+    # copy so the module-scoped fixture stays alive for later tests
+    before = [np.asarray(x)
+              for x in jax.tree_util.tree_leaves(states["netG"].params)]
+    g_before = [np.asarray(x)
+                for x in jax.tree_util.tree_leaves(states["generator"].params)]
+    donated = jax.tree_util.tree_map(jnp.array, states)
+    new_states, logs = model.train_step(donated, batch, prev,
+                                        jax.random.PRNGKey(1))
     for k in ("loss", "lF", "lB", "PF"):
         assert np.isfinite(float(logs[k])), k
     # params actually moved
-    before = jax.tree_util.tree_leaves(states["netG"].params)
     after = jax.tree_util.tree_leaves(new_states["netG"].params)
-    assert any(not np.allclose(np.asarray(x), np.asarray(y))
+    assert any(not np.allclose(x, np.asarray(y))
                for x, y in zip(before, after))
-    g_before = jax.tree_util.tree_leaves(states["generator"].params)
     g_after = jax.tree_util.tree_leaves(new_states["generator"].params)
-    assert any(not np.allclose(np.asarray(x), np.asarray(y))
+    assert any(not np.allclose(x, np.asarray(y))
                for x, y in zip(g_before, g_after))
+
+
+@pytest.mark.slow
+def test_train_step_nan_guard(model_and_states, rng):
+    """In-step failure guard (SURVEY.md §5): a batch that produces a
+    non-finite loss must leave params/opt state/step counter untouched —
+    the guard is a jnp.where select inside the jitted step so it composes
+    with buffer donation."""
+    model, states = model_and_states
+    batch = _batch(rng, TINY)
+    bad = VideoBatch(batch.video.at[0, 0, 0, 0, 0].set(jnp.nan), batch.mask)
+    before = {net: [np.asarray(x) for x in
+                    jax.tree_util.tree_leaves(states[net].params)]
+              for net in ("netG", "generator")}
+    opt_before = [np.asarray(x) for x in
+                  jax.tree_util.tree_leaves(states["netG"].opt_state)]
+    donated = jax.tree_util.tree_map(jnp.array, states)
+    new_states, logs = model.train_step(donated, bad, batch.video + 0.1,
+                                        jax.random.PRNGKey(1))
+    assert not np.isfinite(float(logs["loss"]))
+    for net in ("netG", "generator"):
+        after = jax.tree_util.tree_leaves(new_states[net].params)
+        for x, y in zip(before[net], after):
+            np.testing.assert_array_equal(x, np.asarray(y))
+    # optimizer state too: AdamW (m, v) and the step counter all keep their
+    # pre-step values
+    opt_after = jax.tree_util.tree_leaves(new_states["netG"].opt_state)
+    for x, y in zip(opt_before, opt_after):
+        np.testing.assert_array_equal(x, np.asarray(y))
 
 
 def test_embed_imperceptibility_at_init(model_and_states, rng):
@@ -168,12 +203,15 @@ def test_flagship_tpu_nets_train_step(rng):
     fwd = model.embed(states, batch.video)
     psnr = -10 * np.log10(float(jnp.mean((fwd - batch.video) ** 2)) + 1e-12)
     assert psnr > 40, f"init embed not near-identity: {psnr:.1f} dB"
+    # snapshot params host-side before train_step donates `states`
+    befores = {net: [np.asarray(x) for x in
+                     jax.tree_util.tree_leaves(states[net].params)]
+               for net in ("netG", "generator")}
     new_states, logs = model.train_step(states, batch, batch.video + 0.1,
                                         jax.random.PRNGKey(1))
     for k in ("loss", "lF", "lB", "PF"):
         assert np.isfinite(float(logs[k])), k
     for net in ("netG", "generator"):
-        before = jax.tree_util.tree_leaves(states[net].params)
         after = jax.tree_util.tree_leaves(new_states[net].params)
-        assert any(not np.allclose(np.asarray(x), np.asarray(y))
-                   for x, y in zip(before, after)), net
+        assert any(not np.allclose(x, np.asarray(y))
+                   for x, y in zip(befores[net], after)), net

@@ -22,13 +22,15 @@ def test_hidden_train_step(rng):
                         discriminator_channels=8, discriminator_blocks=2)
     states = model.init_states(jax.random.PRNGKey(0))
     imgs, msgs = _imgs_msgs(rng)
+    # train_step donates `states` — snapshot host-side before the call
+    before = [np.asarray(x)
+              for x in jax.tree_util.tree_leaves(states["encoder"].params)]
     new_states, logs = model.train_step(states, imgs, msgs, jax.random.PRNGKey(1))
     for k in ("loss", "encoder_mse", "dec_mse", "bitwise_error",
               "adversarial_bce", "discr_cover_bce", "discr_encod_bce"):
         assert np.isfinite(float(logs[k])), k
-    before = jax.tree_util.tree_leaves(states["encoder"].params)
     after = jax.tree_util.tree_leaves(new_states["encoder"].params)
-    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+    assert any(not np.allclose(a, np.asarray(b))
                for a, b in zip(before, after))
 
 
@@ -55,10 +57,12 @@ def test_mbrs_train_step(rng):
                       diffusion_length=64)
     states = model.init_states(jax.random.PRNGKey(0))
     imgs, msgs = _imgs_msgs(rng)
+    # train_step donates `states` — snapshot host-side before the call
+    before = [np.asarray(x)
+              for x in jax.tree_util.tree_leaves(states["decoder"].params)]
     new_states, logs = model.train_step(states, imgs, msgs, jax.random.PRNGKey(1))
     assert np.isfinite(float(logs["loss"]))
     assert 0.0 <= float(logs["bitwise_error"]) <= 1.0
-    before = jax.tree_util.tree_leaves(states["decoder"].params)
     after = jax.tree_util.tree_leaves(new_states["decoder"].params)
-    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+    assert any(not np.allclose(a, np.asarray(b))
                for a, b in zip(before, after))

@@ -12,11 +12,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("tasks", nargs="*", default=["pami", "clr"])
+    ap.add_argument("--subnet", default="res",
+                    help="INN coupling subnet: res (reference-shaped, the "
+                         "r2 measurement) | res_tpu | res_tpu2 (MXU-shaped)")
+    args = ap.parse_args()
+
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-    from vwfd_tpu.config import Config, DataConfig
+    from vwfd_tpu.config import Config, DataConfig, ModelConfig
     from vwfd_tpu.models.image_model import ImageImmunizationModel, ImageBatch
 
     b, s = 3, 512
@@ -28,13 +36,14 @@ def main():
     batch = ImageBatch(img, canny, jnp.asarray(m))
     prev = jnp.clip(img + 0.03, 0, 1)
 
-    for task in (sys.argv[1:] or ["pami", "clr"]):
+    for task in (args.tasks or ["pami", "clr"]):
         # reverse_k=3: full 6-way reverse is ~HBM-exact on one v5e at 512²
         # even with bf16 + remat; 3 reversed copies leave headroom (the
         # reference trains this on 24-48 GB GPUs)
-        model = ImageImmunizationModel(Config(data=DataConfig(gt_size=s,
-                                                              batch_size=b)),
-                                       task=task, reverse_k=3)
+        model = ImageImmunizationModel(
+            Config(data=DataConfig(gt_size=s, batch_size=b),
+                   model=ModelConfig(inn_subnet=args.subnet)),
+            task=task, reverse_k=3)
         states = model.init_states(jax.random.PRNGKey(0))
         key = jax.random.PRNGKey(1)
         states, logs = model.train_step(states, batch, prev, key)  # compile

@@ -27,7 +27,7 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--tracedir", default="/tmp/vwfd_trace")
     ap.add_argument("--extractor", default="unet_tpu")
-    ap.add_argument("--subnet", default="res_tpu")
+    ap.add_argument("--subnet", default="res_tpu2")
     args = ap.parse_args()
 
     import jax
@@ -50,29 +50,51 @@ def main():
     video = jnp.asarray(rng.random((batch, frames, size, size, 3), np.float32))
     key = jax.random.PRNGKey(1)
 
-    @jax.jit
-    def pipeline(v, k):
-        k, k_atk = jax.random.split(k)
-        with jax.named_scope("Sembed"):
-            fwd = model.embed(states, v)
-        with jax.named_scope("Sattack"):
-            attacked = jnp.clip(attack_pool_video(k_atk, fwd), 0.0, 1.0)
-        with jax.named_scope("Sextract"):
-            mask = model.predict_mask(states, attacked, train=False)
-        return jnp.mean(fwd), jnp.mean(mask), attacked
+    if args.mode == "train":
+        # full training step: fwd + attack + bwd + 2×AdamW. _loss carries the
+        # same Sembed/Sattack/Sextract named scopes; their transposes inherit
+        # the scope in the op metadata, so the table below attributes forward
+        # AND backward device time per stage.
+        from vwfd_tpu.models import VideoBatch
+        tb = args.batch
+        mask = jnp.asarray((rng.random((tb, frames, size, size, 1)) > 0.9)
+                           .astype(np.float32))
+        batch_ = VideoBatch(video, mask)
+        prev = jnp.clip(video + 0.05, 0, 1)
+        states, logs = model.train_step(states, batch_, prev, key)  # compile
+        _ = float(logs["loss"])
 
-    # warm up / compile
-    out = pipeline(video, key)
-    jax.block_until_ready(out)
-    _ = np.asarray(out[0])
+        os.makedirs(args.tracedir, exist_ok=True)
+        jax.profiler.start_trace(args.tracedir, create_perfetto_trace=True)
+        for i in range(args.steps):
+            states, logs = model.train_step(states, batch_, prev,
+                                            jax.random.fold_in(key, i))
+        _ = float(logs["loss"])  # true sync: logs depend on the whole step
+        jax.profiler.stop_trace()
+    else:
+        @jax.jit
+        def pipeline(v, k):
+            k, k_atk = jax.random.split(k)
+            with jax.named_scope("Sembed"):
+                fwd = model.embed(states, v)
+            with jax.named_scope("Sattack"):
+                attacked = jnp.clip(attack_pool_video(k_atk, fwd), 0.0, 1.0)
+            with jax.named_scope("Sextract"):
+                mask = model.predict_mask(states, attacked, train=False)
+            return jnp.mean(fwd), jnp.mean(mask), attacked
 
-    os.makedirs(args.tracedir, exist_ok=True)
-    jax.profiler.start_trace(args.tracedir, create_perfetto_trace=True)
-    for i in range(args.steps):
-        out = pipeline(video, jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
-    _ = np.asarray(out[0])
-    jax.profiler.stop_trace()
+        # warm up / compile
+        out = pipeline(video, key)
+        jax.block_until_ready(out)
+        _ = np.asarray(out[0])
+
+        os.makedirs(args.tracedir, exist_ok=True)
+        jax.profiler.start_trace(args.tracedir, create_perfetto_trace=True)
+        for i in range(args.steps):
+            out = pipeline(video, jax.random.fold_in(key, i))
+        jax.block_until_ready(out)
+        _ = np.asarray(out[0])
+        jax.profiler.stop_trace()
 
     # ---- parse the perfetto trace
     paths = sorted(glob.glob(os.path.join(

@@ -73,8 +73,9 @@ class HiddenModel:
             noised, train=True, mutable=["batch_stats"])
         return enc, noised, dec, enc_vars, dec_vars
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, states, images, messages, key):
+        # `states` donated; non-finite-loss guard in-step — callers rebind
         k_noise, _ = jax.random.split(key)
 
         # ---- discriminator step (on detached encoded images) ----
@@ -125,6 +126,9 @@ class HiddenModel:
                 g_grads["decoder"]).replace(variables=dec_vars),
             "discriminator": new_disc,
         }
+        good = jnp.isfinite(g_total) & jnp.isfinite(d_total)
+        new_states = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(good, new, old), new_states, states)
         logs = {
             "loss": g_total, "encoder_mse": g_enc, "dec_mse": g_dec,
             "bitwise_error": bitwise_message_error(dec, messages),

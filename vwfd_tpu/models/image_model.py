@@ -422,12 +422,16 @@ class ImageImmunizationModel:
                               jnp.concatenate([img, canny], -1))
         return (ste_quantize_255(clamp_with_grad(fwd[..., :3])), fwd[..., 3:])
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, states, batch: ImageBatch, prev_images, key,
                    jpeg_pair=None):
         """One fused update. `jpeg_pair=(jpeg_real, qf)` supplies real-libjpeg
         targets for the simulator (qf in [0,1]); None falls back to the
-        differentiable hard-round target."""
+        differentiable hard-round target.
+
+        `states` is donated — params + AdamW (m, v) buffers update in place
+        (matters at 512²/batch 3 where the family is HBM-tight); the
+        non-finite-loss guard runs in-step so callers always rebind."""
         params = {k: s.params for k, s in states.items()}
         (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
             params, states, batch, prev_images, key, jpeg_pair)
@@ -445,6 +449,11 @@ class ImageImmunizationModel:
         if self.with_jpeg_simulator:
             new_states["jpeg_sim"] = states["jpeg_sim"].apply_gradients(
                 grads["jpeg_sim"])
+        # in-step failure guard (SURVEY.md §5): non-finite loss → every leaf
+        # keeps its pre-step value (composes with the donated buffers)
+        good = jnp.isfinite(loss)
+        new_states = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(good, new, old), new_states, states)
         logs = {k: v for k, v in aux.items()
                 if k not in ("loc_vars", "apex_vars", "disc_vars")}
         logs["loss"] = loss

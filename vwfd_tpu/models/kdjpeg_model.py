@@ -86,12 +86,15 @@ class KDJpegModel:
                 f"got {lab[:3 * b]}…")
         return flat, lab
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, states, real_jpeg, labels, key):
         """real_jpeg: (6B, H, W, 3) images pre-compressed at per-sample QF in
         CLASS-MAJOR order (use `KDJpegModel.collate`); labels: (6B,) integer
         QF class. The first B entries are the clean sources replicated for
-        simulation (IRNrhi_model.py:468-471)."""
+        simulation (IRNrhi_model.py:468-471).
+
+        `states` is donated; the non-finite-loss guard runs in-step across
+        all three updates, so callers always rebind."""
         del key
         b6 = real_jpeg.shape[0]
         if b6 % self.qf_classes != 0:
@@ -161,6 +164,10 @@ class KDJpegModel:
 
         new_states = {"generator": new_gen, "localizer": new_loc,
                       "discriminator": new_disc}
+        good = (jnp.isfinite(l_qf) & jnp.isfinite(dis_loss)
+                & jnp.isfinite(g_total))
+        new_states = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(good, new, old), new_states, states)
         logs = {"lQF": l_qf, "l_simul": l_simul, "l_simul_bayar": l_bayar,
                 "qfsimu": l_qf_sim, "FW_GAN": fw_gan, "dis_loss": dis_loss,
                 "PSSIMU": psnr255_int(simulated, real_jpeg)}

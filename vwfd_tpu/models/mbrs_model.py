@@ -69,8 +69,9 @@ class MBRSModel:
         return {"encoder": mk(self.encoder.apply, ev),
                 "decoder": mk(self.decoder.apply, dv)}
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, states, images, messages, key):
+        # `states` donated; non-finite-loss guard in-step — callers rebind
         def loss_fn(params):
             enc, enc_vars = self.encoder.apply(
                 {"params": params["encoder"], **states["encoder"].variables},
@@ -94,6 +95,9 @@ class MBRSModel:
             "decoder": states["decoder"].apply_gradients(
                 grads["decoder"]).replace(variables=dec_vars),
         }
+        good = jnp.isfinite(loss)
+        new_states = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(good, new, old), new_states, states)
         logs = {"loss": loss, "encoder_mse": l_enc, "message_mse": l_msg,
                 "bitwise_error": bitwise_message_error(dec, messages)}
         return new_states, logs

@@ -52,8 +52,10 @@ class TianchiModel:
             self.net.apply, v["params"],
             {k: x for k, x in v.items() if k != "params"}, self.tx)}
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, states, images, masks, key):
+        # `states` donated (params + opt buffers update in place); the
+        # non-finite-loss guard runs in-step, so callers always rebind
         st = states["netG"]
 
         def seg_loss(p):
@@ -75,7 +77,10 @@ class TianchiModel:
         ce1, grads1 = jax.value_and_grad(zero_loss)(st.params)
         st = st.apply_gradients(grads1)
 
-        return {"netG": st}, {"CE": ce, "CE1": ce1}
+        good = jnp.isfinite(ce) & jnp.isfinite(ce1)
+        new_states = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(good, new, old), {"netG": st}, states)
+        return new_states, {"CE": ce, "CE1": ce1}
 
     @functools.partial(jax.jit, static_argnums=0)
     def eval_step(self, states, images, masks):

@@ -148,26 +148,33 @@ class VideoWatermarkModel:
         video, mask = batch.video, batch.mask
         b, t = video.shape[0], video.shape[1]
 
-        x = _to_channels(video.astype(self.compute_dtype)
-                         if self.compute_dtype is not None else video)
-        fwd = self.inn.apply({"params": params["netG"],
-                              **states["netG"].variables}, x)
-        fwd = ste_quantize_255(clamp_with_grad(fwd))
-        fwd_video = _to_frames(fwd, t)
+        # named scopes flow into XLA op metadata for both the forward ops and
+        # their transposes — tools/exp_profile_pipeline.py --mode train uses
+        # them to attribute device time to pipeline stages
+        with jax.named_scope("Sembed"):
+            x = _to_channels(video.astype(self.compute_dtype)
+                             if self.compute_dtype is not None else video)
+            fwd = self.inn.apply({"params": params["netG"],
+                                  **states["netG"].variables}, x)
+            fwd = ste_quantize_255(clamp_with_grad(fwd))
+            fwd_video = _to_frames(fwd, t)
 
-        # splice tamper with the previous batch (IRNcrop_model.py:348)
-        attacked_fwd = fwd_video * (1.0 - mask) + prev_images * mask
+        with jax.named_scope("Sattack"):
+            # splice tamper with the previous batch (IRNcrop_model.py:348)
+            attacked_fwd = fwd_video * (1.0 - mask) + prev_images * mask
 
-        k_atk, _ = jax.random.split(key)
-        attacked = attack_pool_video(k_atk, attacked_fwd,
-                                     ratios=self.attack_ratios)
-        attacked = ste_quantize_255(clamp_with_grad(attacked))
+            k_atk, _ = jax.random.split(key)
+            attacked = attack_pool_video(k_atk, attacked_fwd,
+                                         ratios=self.attack_ratios)
+            attacked = ste_quantize_255(clamp_with_grad(attacked))
 
-        flat = attacked.reshape(b * t, *attacked.shape[2:])
-        pred, new_unet_vars = self.unet.apply(
-            {"params": params["generator"], **states["generator"].variables},
-            flat, train=True, mutable=["batch_stats"])
-        pred_mask = pred.reshape(b, t, *pred.shape[1:])
+        with jax.named_scope("Sextract"):
+            flat = attacked.reshape(b * t, *attacked.shape[2:])
+            pred, new_unet_vars = self.unet.apply(
+                {"params": params["generator"],
+                 **states["generator"].variables},
+                flat, train=True, mutable=["batch_stats"])
+            pred_mask = pred.reshape(b, t, *pred.shape[1:])
 
         psnr_forward = jax.lax.stop_gradient(psnr255_int(video, fwd_video))
         w_fwd = jnp.where(psnr_forward < tc.psnr_gate,
@@ -192,8 +199,12 @@ class VideoWatermarkModel:
         }
         return loss, aux
 
-    @functools.partial(jax.jit, static_argnums=0)
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, states, batch: VideoBatch, prev_images, key):
+        # `states` is donated: the params + AdamW (m, v) trees for both nets
+        # alias their output buffers in-place instead of allocating ~3× the
+        # param bytes fresh each step (callers all rebind `states`; on CPU
+        # test runs donation is a no-op).
         params = {"netG": states["netG"].params,
                   "generator": states["generator"].params}
         (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
@@ -203,6 +214,12 @@ class VideoWatermarkModel:
             "generator": states["generator"].apply_gradients(
                 grads["generator"]).replace(variables=aux["unet_vars"]),
         }
+        # failure guard (reference has none, SURVEY.md §5), in-step so it
+        # composes with donation: on a non-finite loss every leaf keeps its
+        # pre-step value — params, optimizer (m, v), step counter, batch_stats
+        good = jnp.isfinite(loss)
+        new_states = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(good, new, old), new_states, states)
         logs = {"loss": loss, "lF": aux["lF"], "lB": aux["lB"], "PF": aux["PF"]}
         return new_states, logs
 
@@ -258,17 +275,17 @@ class VideoWatermarkModel:
                     prev = batch.video  # first batch only seeds the buffer
                     continue
                 key, k = jax.random.split(key)
-                new_states, logs = self.train_step(states, batch, prev, k)
+                # train_step donates `states` and carries the non-finite-loss
+                # guard in-step (params/opt/batch_stats keep their pre-step
+                # values on a bad batch) — always rebind
+                states, logs = self.train_step(states, batch, prev, k)
                 step += 1
                 logs_out = {k2: float(v) for k2, v in logs.items()}
                 if not np.isfinite(logs_out["loss"]):
-                    # failure guard (reference has none, SURVEY.md §5): keep
-                    # the pre-step params and skip this batch
                     import logging
                     logging.getLogger("base").warning(
-                        "non-finite loss at step %d — update skipped", step)
-                else:
-                    states = new_states
+                        "non-finite loss at step %d — update skipped "
+                        "(in-step guard kept the pre-step state)", step)
                 if progbar is not None:
                     progbar.add(1, values=list(logs_out.items()))
                 if scalar_logger is not None:
