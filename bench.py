@@ -96,7 +96,7 @@ def main():
     if args.train:
         from vwfd_tpu.models import VideoBatch
         rng = np.random.default_rng(0)
-        tb = 16 if not args.tiny else batch
+        tb = (args.batch or 16) if not args.tiny else batch
         video = jnp.asarray(rng.random((tb, frames, size, size, 3), np.float32))
         mask = jnp.asarray((rng.random((tb, frames, size, size, 1)) > 0.9)
                            .astype(np.float32))

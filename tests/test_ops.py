@@ -202,6 +202,31 @@ def test_median_blur_center(rng):
     np.testing.assert_allclose(got[0, 2, 2, 0], want, atol=1e-6)
 
 
+def test_median_blur_custom_vjp(rng):
+    """The custom backward (direct median-contributor routing) must equal
+    autodiff of the plain sorting network on untied inputs, and keep the
+    per-output gradient mass one-hot even under ties."""
+    from vwfd_tpu.ops.filters import _median_views, _median3_net
+
+    x = rng.random((2, 8, 8, 3), dtype=np.float32)  # distinct values w.p. 1
+    g = rng.random((2, 8, 8, 3), dtype=np.float32)
+
+    def net(y):  # same network, no custom_vjp
+        return _median3_net(_median_views(y, 3))
+
+    want = jax.vjp(net, jnp.asarray(x))[1](jnp.asarray(g))[0]
+    got = jax.vjp(lambda y: ops.median_blur(y, 3), jnp.asarray(x))[1](
+        jnp.asarray(g))[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    # ties (constant image): every output routes its cotangent to exactly one
+    # input — total gradient mass is conserved
+    xc = jnp.ones((1, 6, 6, 1), jnp.float32)
+    gc = jnp.asarray(rng.random((1, 6, 6, 1), dtype=np.float32))
+    gx = jax.vjp(lambda y: ops.median_blur(y, 3), xc)[1](gc)[0]
+    np.testing.assert_allclose(float(gx.sum()), float(gc.sum()), rtol=1e-6)
+
+
 def test_avg_pool(rng):
     x = rng.random((1, 4, 4, 2), dtype=np.float32)
     got = np.asarray(ops.avg_pool_2x2(jnp.asarray(x)))

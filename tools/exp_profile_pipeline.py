@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--tracedir", default="/tmp/vwfd_trace")
     ap.add_argument("--extractor", default="unet_tpu")
     ap.add_argument("--subnet", default="res_tpu2")
+    ap.add_argument("--scope", default=None,
+                    help="print top ops inside one named scope "
+                         "(Sembed|Sattack|Sextract|(unattributed))")
     args = ap.parse_args()
 
     import jax
@@ -120,6 +123,8 @@ def main():
     agg = defaultdict(float)
     cnt = defaultdict(int)
     stage = defaultdict(float)  # named_scope (Sembed/Sattack/Sextract) → ms
+    scope_ops = defaultdict(lambda: defaultdict(float))  # scope → op → ms
+    scope_meta = {}  # op name → one long_name sample (for --scope listings)
     total = 0.0
     for e in events:
         if e.get("ph") != "X":
@@ -144,9 +149,13 @@ def main():
         for s in ("Sembed", "Sattack", "Sextract"):
             if s in meta:
                 stage[s] += dur
+                scope_ops[s][name] += dur
+                scope_meta.setdefault(name, meta[:300])
                 break
         else:
             stage["(unattributed)"] += dur
+            scope_ops["(unattributed)"][name] += dur
+            scope_meta.setdefault(name, meta[:300])
     if not agg:
         print("no device events matched; process names:",
               sorted(set(proc_names.values())))
@@ -157,6 +166,14 @@ def main():
         parts = ", ".join(f"{k}={v/args.steps:.1f} ms" for k, v in
                           sorted(stage.items(), key=lambda kv: -kv[1]))
         print(f"per-stage (named_scope): {parts}")
+    if args.scope:
+        rows = sorted(scope_ops[args.scope].items(),
+                      key=lambda kv: -kv[1])[:args.top]
+        print(f"top ops inside scope {args.scope}:")
+        for name, ms in rows:
+            print(f"{ms/args.steps:9.3f} ms/step  ×{cnt[name]//args.steps:<4d} "
+                  f"{name[:48]:48s} {scope_meta.get(name, '')[:160]}")
+        return
     rows = sorted(agg.items(), key=lambda kv: -kv[1])[:args.top]
     for name, ms in rows:
         print(f"{ms/args.steps:9.3f} ms/step  ×{cnt[name]//args.steps:<4d} "

@@ -50,9 +50,9 @@ def apply_blur_kernel(img, kernel):
     out = jnp.zeros_like(img)
     for dy in range(n):
         for dx in range(n):
-            out = out + kernel[dy, dx] * jax.lax.dynamic_slice_in_dim(
-                jax.lax.dynamic_slice_in_dim(xp, dy, h, axis=xp.ndim - 3),
-                dx, w, axis=xp.ndim - 2)
+            # static slices: transpose to fusable zero-pads, not
+            # dynamic-update-slices
+            out = out + kernel[dy, dx] * xp[..., dy:dy + h, dx:dx + w, :]
     return out
 
 

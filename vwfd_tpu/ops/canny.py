@@ -23,10 +23,10 @@ def sobel_edges(gray):
                 mode="reflect")
 
     def sh(dy, dx):
+        # static slices: their transpose is a fusable zero-pad, not a
+        # dynamic-update-slice (matters in the image-family backward)
         h, w = gray.shape[-3], gray.shape[-2]
-        return jax.lax.dynamic_slice_in_dim(
-            jax.lax.dynamic_slice_in_dim(p, dy + 1, h, axis=p.ndim - 3),
-            dx + 1, w, axis=p.ndim - 2)
+        return p[..., dy + 1:dy + 1 + h, dx + 1:dx + 1 + w, :]
 
     gx = (sh(-1, 1) + 2 * sh(0, 1) + sh(1, 1)
           - sh(-1, -1) - 2 * sh(0, -1) - sh(1, -1))
@@ -53,9 +53,7 @@ def canny_soft(img, sigma: float = 1.0, low: float = 0.1, high: float = 0.2,
     h, w = mag.shape[-3], mag.shape[-2]
 
     def sh(dy, dx):
-        return jax.lax.dynamic_slice_in_dim(
-            jax.lax.dynamic_slice_in_dim(p, dy + 1, h, axis=p.ndim - 3),
-            dx + 1, w, axis=p.ndim - 2)
+        return p[..., dy + 1:dy + 1 + h, dx + 1:dx + 1 + w, :]
 
     # direction cosines computed directly (arctan2 has NaN grad at (0,0))
     gnorm = jnp.sqrt(gx * gx + gy * gy + 1e-8)
