@@ -126,8 +126,9 @@ def main():
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, extractor_s2d=args.s2d))
 
-    modes = {"embed": ("embed",), "detect": ("detect",),
-             "roundtrip": ("embed", "detect")}[args.mode]
+    # roundtrip = ONE fused device program (embed→detect, bit-identical to
+    # two-stage serving) — the watermarked clip never round-trips the host.
+    modes = (args.mode,)
     t0 = time.time()
     server = WatermarkServer(cfg, ckpt_dir=args.ckpt, step=args.step,
                              modes=modes, threshold=args.threshold)
@@ -167,34 +168,30 @@ def main():
     verdicts = {}
     t1 = time.time()
     batches = list(_batched(reqs, cfg.data.batch_size))
-    stage_in = batches
-    if "embed" in modes:
-        out_pairs = []
-        for names, res in run("embed", stage_in):
-            wm = res.watermarked
-            n_clips += wm.shape[0]
-            n_frames += wm.shape[0] * wm.shape[1]
-            if args.out and args.mode == "embed":
-                for i, name in enumerate(names[: res.n]):
-                    safe = name.replace("/", "_")
-                    for t in range(wm.shape[1]):
-                        cv2.imwrite(os.path.join(
-                            args.out, f"{safe}_f{t}.png"),
-                            wm[i, t][:, :, ::-1])
-            out_pairs.append((names, wm))
-        if args.mode == "roundtrip":
-            stage_in = out_pairs
-    if "detect" in modes:
-        n_clips = n_frames = 0
-        for names, res in run("detect", stage_in):
-            mask, frac = res.mask, res.tamper_fraction
-            n_clips += mask.shape[0]
-            n_frames += mask.shape[0] * mask.shape[1]
+    for names, res in run(args.mode, batches):
+        n_clips += res.n
+        n_frames += res.n * cfg.data.frames
+        # materialize the mode's wire products (the throughput line measures
+        # delivered results, not dispatches): embed → watermarked frames;
+        # detect/roundtrip → bit-packed masks + per-clip verdicts. In
+        # roundtrip the watermarked clip stays on device unless written out
+        # — that's the fused program's point.
+        wm = res.watermarked if args.mode == "embed" or (
+            args.out and args.mode == "roundtrip") else None
+        mask = None
+        if args.mode in ("detect", "roundtrip"):
+            mask = res.mask  # host-unpacked from the 1-bit wire format
+            frac = res.tamper_fraction
             for i, name in enumerate(names[: res.n]):
                 verdicts[f"{name}#{i}"] = float(frac[i])
-                if args.out:
-                    safe = name.replace("/", "_")
-                    for t in range(mask.shape[1]):
+        if args.out:
+            for i, name in enumerate(names[: res.n]):
+                safe = name.replace("/", "_")
+                for t in range(cfg.data.frames):
+                    if wm is not None:
+                        cv2.imwrite(os.path.join(args.out, f"{safe}_f{t}.png"),
+                                    wm[i, t][:, :, ::-1])
+                    if mask is not None:
                         cv2.imwrite(os.path.join(
                             args.out, f"{safe}_f{t}_mask.png"), mask[i, t])
     wall = time.time() - t1

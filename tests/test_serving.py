@@ -89,6 +89,44 @@ def test_stream_preserves_order_and_counts(server, rng):
     np.testing.assert_array_equal(outs[1].mask, solo.mask)
 
 
+def test_mask_bits_wire_format(server, clip):
+    """The detect wire carries 1 bit/pixel (8× fewer device→host bytes);
+    ServeResult.mask unpacks to the same uint8 {0,255} interface."""
+    from vwfd_tpu.serving import unpack_mask_bits
+
+    res = server.serve(clip, "detect")
+    assert "mask_bits" in res.keys() and "mask" not in res.keys()
+    packed = res.mask_bits
+    assert packed.shape == (2, 2, 32, 4) and packed.dtype == np.uint8
+    np.testing.assert_array_equal(unpack_mask_bits(packed), res.mask)
+    # exactness: unpack∘pack is the identity on the thresholded logits
+    assert set(np.unique(res.mask)) <= {0, 255}
+    # (the size%8 fallback to a plain uint8 mask is unreachable in practice:
+    # every extractor needs size divisible by 16 for its skip concats)
+
+
+def test_fused_roundtrip_matches_two_stage(server, clip):
+    """modes=('roundtrip',) compiles embed→detect as one program whose
+    outputs are bit-identical to serving the two stages over the wire."""
+    srv = WatermarkServer(_cfg(), modes=("roundtrip",))
+    fused = srv.serve(clip, "roundtrip")
+    wm = server.serve(clip, "embed").watermarked
+    det = server.serve(wm, "detect")
+    np.testing.assert_array_equal(fused.watermarked, wm)
+    np.testing.assert_array_equal(fused.mask, det.mask)
+    np.testing.assert_array_equal(fused.tamper_fraction, det.tamper_fraction)
+
+
+def test_stream_prefetch_preserves_results(server, rng):
+    """serve_stream's async device→host prefetch changes timing only —
+    results equal the synchronous path."""
+    clips = [(rng.random((2, 2, 32, 32, 3)) * 255).astype(np.uint8)
+             for _ in range(3)]
+    outs = list(server.serve_stream(clips, "detect", window=3))
+    for c, o in zip(clips, outs):
+        np.testing.assert_array_equal(o.mask, server.serve(c, "detect").mask)
+
+
 def test_modes_gate_compilation(clip):
     srv = WatermarkServer(_cfg(), modes=("embed",))
     srv.serve(clip, "embed")
@@ -122,12 +160,16 @@ def test_export_frozen_artifact_roundtrip(tmp_path, server, clip):
     jax (no model code)."""
     from vwfd_tpu.serving import load_exported
 
+    from vwfd_tpu.serving import unpack_mask_bits
+
     path = str(tmp_path / "detect.vwfd")
     server.export_program("detect", path, platforms=("tpu", "cpu"))
     call = load_exported(path)
     out = call(clip)
     ref = server.serve(clip, "detect")
-    np.testing.assert_array_equal(np.asarray(out["mask"]), ref.mask)
+    # artifact emits the 1-bit wire format; unpack needs only numpy
+    np.testing.assert_array_equal(unpack_mask_bits(out["mask_bits"]),
+                                  ref.mask)
     np.testing.assert_allclose(np.asarray(out["tamper_fraction"]),
                                ref.tamper_fraction, rtol=1e-6)
 

@@ -21,6 +21,18 @@ designed around how TPUs actually serve:
     it fuses into the first conv. The embed output is *exactly* representable
     in uint8 (the model's STE quantizer already rounds to 8-bit levels), so
     the wire format costs zero fidelity.
+  * **Bit-packed masks.** Detect masks are binary, so the wire carries one
+    *bit* per pixel (device-side packbits along the row axis) — 8× fewer
+    device→host bytes than a uint8 mask. ``ServeResult.mask`` unpacks on the
+    host transparently; consumers still see ``uint8 {0,255} (b,T,S,S,1)``.
+  * **Async device→host prefetch.** ``serve_stream`` starts the host copy of
+    every result the moment it is dispatched (``copy_to_host_async``), so
+    downloads of request N overlap compute of N+1 — on top of the upload-side
+    double buffering.
+  * **Fused roundtrip.** ``modes=("roundtrip",)`` compiles embed→detect as
+    ONE device program (detect consumes the exact uint8 the embed wire would
+    carry): the immunize-then-verify deployment op, with no intermediate
+    download/re-upload of the watermarked frames.
   * **Async double-buffering.** ``serve_stream`` keeps a bounded window of
     in-flight requests: the host uploads clip N+1 and dispatches its program
     while clip N computes (JAX async dispatch), and only blocks on the
@@ -49,7 +61,28 @@ from .config import Config
 from .models.state import latest_step, restore_checkpoint
 from .models.video_model import VideoWatermarkModel
 
-__all__ = ["WatermarkServer", "ServeResult", "load_exported"]
+__all__ = ["WatermarkServer", "ServeResult", "load_exported",
+           "unpack_mask_bits"]
+
+# MSB-first byte order — matches np.unpackbits' default on the host side.
+_BIT_WEIGHTS = np.array([128, 64, 32, 16, 8, 4, 2, 1], np.uint8)
+
+
+def _pack_mask_bits(mask_bool: jnp.ndarray) -> jnp.ndarray:
+    """Device-side packbits: boolean mask (b,T,S,S,1) → uint8 (b,T,S,S//8),
+    8 row-adjacent pixels per byte, MSB first. One multiply-add per pixel —
+    XLA fuses it into the thresholding compare."""
+    b, t, s, s2, _ = mask_bool.shape
+    bits = mask_bool.astype(jnp.uint8).reshape(b, t, s, s2 // 8, 8)
+    return (bits * jnp.asarray(_BIT_WEIGHTS)).sum(axis=-1).astype(jnp.uint8)
+
+
+def unpack_mask_bits(packed) -> np.ndarray:
+    """Host-side inverse of ``_pack_mask_bits``: uint8 (...,S,S//8) →
+    uint8 {0,255} (...,S,S,1). Needs only numpy (pairs with
+    ``load_exported`` artifacts, which emit the packed wire format)."""
+    bits = np.unpackbits(np.asarray(packed), axis=-1)
+    return (bits[..., None] * np.uint8(255)).astype(np.uint8)
 
 
 def load_exported(path: str):
@@ -71,11 +104,26 @@ class ServeResult:
         self.n = n  # valid rows (≤ compiled batch; rest is tail padding)
 
     def __getattr__(self, name):
+        if name == "mask" and "mask" not in self._arrays:
+            # bit-packed wire format — unpack on the host, same interface
+            return unpack_mask_bits(self._arrays["mask_bits"])[: self.n]
         try:
             arr = self._arrays[name]
         except KeyError:
             raise AttributeError(name) from None
         return np.asarray(arr)[: self.n]
+
+    def prefetch(self) -> "ServeResult":
+        """Start async device→host copies of every output now, so the
+        transfer overlaps later compute instead of blocking the consumer."""
+        for arr in self._arrays.values():
+            copy = getattr(arr, "copy_to_host_async", None)
+            if copy is not None:
+                try:
+                    copy()
+                except Exception:  # non-addressable shards etc. — fetch lazily
+                    pass
+        return self
 
     def keys(self):
         return self._arrays.keys()
@@ -163,13 +211,12 @@ class WatermarkServer:
                                                             None)),
             self._params)
 
+        device_fns = {"embed": self._embed_u8, "detect": self._detect_u8,
+                      "roundtrip": self._roundtrip_u8}
         self._compiled = {}
-        if "embed" in modes:
-            self._compiled["embed"] = (
-                jax.jit(self._embed_u8).lower(p_spec, x_spec).compile())
-        if "detect" in modes:
-            self._compiled["detect"] = (
-                jax.jit(self._detect_u8).lower(p_spec, x_spec).compile())
+        for m in modes:
+            self._compiled[m] = (
+                jax.jit(device_fns[m]).lower(p_spec, x_spec).compile())
 
     # ---------------------------------------------------------- device fns
 
@@ -194,12 +241,25 @@ class WatermarkServer:
         logits = self.model.predict_mask(self._wrap_states(params), video,
                                          train=False)
         logits = logits.astype(jnp.float32)
-        mask = _sigmoid_mask_u8(logits, self.threshold)
         # clip-level verdict: mean tampered fraction per clip — the serving
         # analog of the reference's per-video F1 bookkeeping
         # (IRNcrop_model.py:581-607) when no GT mask exists at runtime.
         frac = jnp.mean(jax.nn.sigmoid(logits), axis=(1, 2, 3, 4))
-        return {"mask": mask, "tamper_fraction": frac}
+        logit_t = jnp.log(self.threshold) - jnp.log1p(-self.threshold)
+        if self.size % 8 == 0:
+            return {"mask_bits": _pack_mask_bits(logits > logit_t),
+                    "tamper_fraction": frac}
+        return {"mask": _sigmoid_mask_u8(logits, self.threshold),
+                "tamper_fraction": frac}
+
+    def _roundtrip_u8(self, params, x_u8):
+        """Embed → detect in one program. The detector sees exactly the
+        uint8 the embed wire format would carry, so the fused op is
+        bit-identical to two-stage serving — minus one full-resolution
+        download + re-upload of the watermarked clip."""
+        out = self._embed_u8(params, x_u8)
+        det = self._detect_u8(params, out["watermarked"])
+        return {**out, **det}
 
     # ------------------------------------------------------------- serving
 
@@ -242,7 +302,7 @@ class WatermarkServer:
                            f"(modes={tuple(self._compiled)})")
         inflight = []
         for clip in clips:
-            inflight.append(self.serve(clip, mode))
+            inflight.append(self.serve(clip, mode).prefetch())
             if len(inflight) >= max(1, window):
                 yield inflight.pop(0)
         while inflight:
@@ -262,7 +322,8 @@ class WatermarkServer:
             raise NotImplementedError(
                 "export freezes a single-device program; build the server "
                 "without mesh= to export, shard at load time instead")
-        fn = {"embed": self._embed_u8, "detect": self._detect_u8}[mode]
+        fn = {"embed": self._embed_u8, "detect": self._detect_u8,
+              "roundtrip": self._roundtrip_u8}[mode]
         shape = (self.batch, self.frames, self.size, self.size, 3)
         x_spec = jax.ShapeDtypeStruct(shape, jnp.uint8)
         params = jax.tree_util.tree_map(np.asarray, self._params)
