@@ -212,7 +212,12 @@ class ImageImmunizationModel:
         b, h, w, _ = img.shape
         k_atk, k_crop = jax.random.split(key)
 
-        fwd_rgb, fwd_null = self._embed_p(params, states, img, canny)
+        # jax.named_scope stage markers (Iembed/Itamper/Iattack/Ilocalize/
+        # Iapex/Ireverse) carry into the HLO op metadata so
+        # tools/exp_image_profile.py can attribute device time per stage —
+        # zero effect on the computation itself.
+        with jax.named_scope("Iembed"):
+            fwd_rgb, fwd_null = self._embed_p(params, states, img, canny)
 
         apex = None
         if self.task == "clr":
@@ -239,7 +244,8 @@ class ImageImmunizationModel:
         tampered = jnp.clip(tampered, 0.0, 1.0)
         # remat: the k-copy attack fan-out's DCT/resize intermediates at 512²
         # are pure recompute — don't keep them for backward
-        attacked = jax.checkpoint(self._attack_fanout)(k_atk, tampered)
+        with jax.named_scope("Iattack"):
+            attacked = jax.checkpoint(self._attack_fanout)(k_atk, tampered)
         aux_sim = {}
         if self.with_jpeg_simulator:
             k_q, _ = jax.random.split(k_crop)
@@ -287,8 +293,9 @@ class ImageImmunizationModel:
                 {"params": p, **states["localizer"].variables},
                 z, update_sn=True, mutable=["spectral"])
 
-        pred_mask, loc_vars = jax.checkpoint(_localize)(
-            params["localizer"], flat)
+        with jax.named_scope("Ilocalize"):
+            pred_mask, loc_vars = jax.checkpoint(_localize)(
+                params["localizer"], flat)
         pred_mask = pred_mask[0] if isinstance(pred_mask, tuple) else pred_mask
         gt_mask_exp = jnp.tile(mask, (k, 1, 1, 1))
         l_mask = l1_loss(pred_mask, gt_mask_exp)
@@ -302,32 +309,35 @@ class ImageImmunizationModel:
         apex_vars = None
         rectified = flat
         if self.with_apex:
-            target = jnp.stack([apex[0] / h, apex[1] / h,
-                                apex[2] / w, apex[3] / w])
-            target = jnp.tile(target[None], (k * b, 1))
-            (apex_mask, apex_pred), apex_vars = self.apex_net.apply(
-                {"params": params["apex"], **states["apex"].variables},
-                jax.lax.stop_gradient(flat),
-                mutable=["spectral", "batch_stats"])
-            l_apex = l1_loss(apex_pred, target) + l1_loss(apex_mask, gt_mask_exp)
-            (ce_mask, ce_pred), _ = self.apex_net.apply(
-                {"params": jax.lax.stop_gradient(params["apex"]),
-                 **states["apex"].variables},
-                flat, mutable=["spectral", "batch_stats"])
-            l_ce = l1_loss(ce_pred, target) + l1_loss(ce_mask, gt_mask_exp)
-            aux_apex = {"l_apex": l_apex, "l_ce": l_ce}
-            # scale-back rectification before the reverse pass
-            # (IRNclr_model.py:556-575): attacked values pasted back at the
-            # crop's original position, gradients through the clean forward.
-            clean_exp = jnp.tile(fwd_rgb, (k, 1, 1, 1))
-            rectified = rectify_crop_pad(flat, clean_exp, apex)
+            with jax.named_scope("Iapex"):
+                target = jnp.stack([apex[0] / h, apex[1] / h,
+                                    apex[2] / w, apex[3] / w])
+                target = jnp.tile(target[None], (k * b, 1))
+                (apex_mask, apex_pred), apex_vars = self.apex_net.apply(
+                    {"params": params["apex"], **states["apex"].variables},
+                    jax.lax.stop_gradient(flat),
+                    mutable=["spectral", "batch_stats"])
+                l_apex = (l1_loss(apex_pred, target)
+                          + l1_loss(apex_mask, gt_mask_exp))
+                (ce_mask, ce_pred), _ = self.apex_net.apply(
+                    {"params": jax.lax.stop_gradient(params["apex"]),
+                     **states["apex"].variables},
+                    flat, mutable=["spectral", "batch_stats"])
+                l_ce = l1_loss(ce_pred, target) + l1_loss(ce_mask, gt_mask_exp)
+                aux_apex = {"l_apex": l_apex, "l_ce": l_ce}
+                # scale-back rectification before the reverse pass
+                # (IRNclr_model.py:556-575): attacked values pasted back at the
+                # crop's original position, gradients through the clean forward.
+                clean_exp = jnp.tile(fwd_rgb, (k, 1, 1, 1))
+                rectified = rectify_crop_pad(flat, clean_exp, apex)
 
         # ---- reverse pass over the first n_rev attacked copies — the
         # reference reverses the FULL kB fan-out (IRNclr_model.py:548,628-634);
         # reverse_k > 0 bounds memory when configured.
         n_rev = k if self.reverse_k == 0 else min(self.reverse_k, k)
         rect_r = rectified[:n_rev * b]
-        canny_rect = canny_soft(rect_r)
+        with jax.named_scope("Icanny"):
+            canny_rect = canny_soft(rect_r)
         rev_in = jnp.concatenate([rect_r, canny_rect], -1)
 
         # jax.checkpoint: the k-way reverse at the reference's 512² would
@@ -339,7 +349,8 @@ class ImageImmunizationModel:
                 {"params": p, **states["netG"].variables}, z, rev=True)
             return out
 
-        reversed_stuff = jax.checkpoint(_reverse)(params["netG"], rev_in)
+        with jax.named_scope("Ireverse"):
+            reversed_stuff = jax.checkpoint(_reverse)(params["netG"], rev_in)
         rev_rgb = jnp.clip(reversed_stuff[..., :3], 0.0, 1.0)
         rev_wm = jnp.clip(reversed_stuff[..., 3:], 0.0, 1.0)
         img_exp = jnp.tile(img, (n_rev, 1, 1, 1))
@@ -369,11 +380,13 @@ class ImageImmunizationModel:
             l_null = l1_loss(fwd_null, jnp.zeros_like(fwd_null))
             l_forward = l_forward + 16.0 * l_null
             l_backward = l1_loss(rev_rgb, img_exp) + l1_loss(rev_wm, canny_exp)
-            l_forward = l_forward + 0.01 * perceptual_loss(
-                fwd_rgb, img, params=self.vgg_params)
-            l_backward = l_backward + 0.01 * perceptual_loss(
-                jnp.tile(rev_wm, (1, 1, 1, 3)), jnp.tile(canny_exp, (1, 1, 1, 3)),
-                params=self.vgg_params)
+            with jax.named_scope("Iperceptual"):
+                l_forward = l_forward + 0.01 * perceptual_loss(
+                    fwd_rgb, img, params=self.vgg_params)
+                l_backward = l_backward + 0.01 * perceptual_loss(
+                    jnp.tile(rev_wm, (1, 1, 1, 3)),
+                    jnp.tile(canny_exp, (1, 1, 1, 3)),
+                    params=self.vgg_params)
             alpha_f = jnp.where(psnr_f < 32.0, 1.5, 1.0)
             alpha_b = jnp.where(psnr_f - psnr_b > 1.0, 1.25 * 8.0, 8.0)
             loss = alpha_f * l_forward + alpha_b * l_backward
