@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--block-num", type=str, default=None,
                     help="INN coupling schedule override, e.g. '0,2,1' "
                          "(default: reference 1,1,1)")
+    ap.add_argument("--haar", type=str, default="lift",
+                    help="INN Haar squeeze impl: lift (reshape+add) | conv "
+                         "(fixed-weight stride-2 convs — layout-stable, "
+                         "see ops/haar.py)")
     ap.add_argument("--train", action="store_true",
                     help="bench the full training step (fwd+attack+bwd+2×AdamW)"
                          " instead of the inference pipeline")
@@ -82,6 +86,7 @@ def main():
         mc = ModelConfig(inn_subnet=args.subnet, extractor=args.extractor,
                          extractor_s2d=args.s2d,
                          extractor_features=args.efeatures,
+                         inn_haar=args.haar,
                          **({"inn_block_num": tuple(
                              int(s) for s in args.block_num.split(","))}
                             if args.block_num else {}))

@@ -37,6 +37,22 @@ def test_inn_flagship_config(rng):
     assert np.isfinite(np.asarray(y)).all()
 
 
+def test_inn_conv_haar_equivalence(rng):
+    """haar='conv' (layout-stable TPU path) computes the SAME network as the
+    default lifting Haar — identical params, matching outputs, invertible."""
+    kw = dict(channels=4, down_num=2, block_num=(1, 1), subnet="res_tpu2")
+    lift = nets.InvertibleNet(haar="lift", **kw)
+    conv = nets.InvertibleNet(haar="conv", **kw)
+    x = jnp.asarray(rng.random((2, 16, 16, 4), dtype=np.float32))
+    params = lift.init(jax.random.PRNGKey(0), x)
+    y_lift = lift.apply(params, x)
+    y_conv = conv.apply(params, x)  # same param tree: Haar has no params
+    np.testing.assert_allclose(np.asarray(y_conv), np.asarray(y_lift),
+                               atol=1e-5)
+    x_rec, _ = conv.apply(params, y_conv, rev=True)
+    assert float(jnp.abs(x_rec - x).max()) < 1e-4
+
+
 def test_inn_dense_variant(rng):
     model = nets.InvertibleNet(channels=3, down_num=2, block_num=(2, 2),
                                subnet="dense", return_middle=False)
@@ -146,6 +162,21 @@ def test_unet_tpu_shapes_and_grads(rng):
     assert all(np.all(np.isfinite(np.asarray(l)))
                for l in jax.tree_util.tree_leaves(g))
     assert float(optax.global_norm(g)) > 0
+
+
+def test_unet_tpu_conv_squeeze_bit_exact(rng):
+    """UNetTPU's conv-expressed stem/head squeezes (the layout-stable TPU
+    path) are bit-exact vs the reshape spelling, with identical params."""
+    import jax
+    from vwfd_tpu.nets import UNetTPU
+
+    a = UNetTPU(out_channels=1, init_features=8, conv_squeeze=True)
+    b = UNetTPU(out_channels=1, init_features=8, conv_squeeze=False)
+    x = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    v = a.init(jax.random.PRNGKey(0), x)
+    ya = a.apply(v, x, train=False)
+    yb = b.apply(v, x, train=False)
+    assert float(jnp.abs(ya - yb).max()) == 0.0
 
 
 @pytest.mark.parametrize("subnet", ["res_tpu", "res_tpu2"])

@@ -147,6 +147,50 @@ def test_haar_matches_torch_grouped_conv(rng):
     np.testing.assert_allclose(np.moveaxis(got, -1, 1), want, atol=1e-5)
 
 
+def test_haar_conv_matches_lift(rng):
+    """The conv-expressed Haar (layout-stable TPU path, ops/haar.py) is the
+    SAME linear map as the lifting form, on 4-D and 5-D inputs and in both
+    f32 and bf16."""
+    from vwfd_tpu.ops import haar
+    for shape in [(2, 16, 16, 3), (2, 3, 8, 8, 4)]:
+        x = jnp.asarray(rng.random(shape, dtype=np.float32))
+        d_lift, d_conv = haar.haar_downsample(x), haar.haar_downsample_conv(x)
+        np.testing.assert_allclose(np.asarray(d_conv), np.asarray(d_lift),
+                                   atol=1e-6)
+        u_lift, u_conv = haar.haar_upsample(d_lift), haar.haar_upsample_conv(d_lift)
+        np.testing.assert_allclose(np.asarray(u_conv), np.asarray(u_lift),
+                                   atol=1e-6)
+        rt = haar.haar_upsample_conv(haar.haar_downsample_conv(x))
+        np.testing.assert_allclose(np.asarray(rt), np.asarray(x), atol=1e-6)
+    xb = jnp.asarray(rng.random((2, 8, 8, 4), dtype=np.float32)).astype(
+        jnp.bfloat16)
+    db = haar.haar_downsample_conv(xb)
+    assert db.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(db, np.float32),
+        np.asarray(haar.haar_downsample(xb), np.float32), atol=2e-2)
+
+
+@pytest.mark.parametrize("s", [2, 4])
+def test_conv_squeeze_bit_exact(rng, s):
+    """space/depth permutation convs (ops/squeeze.py) are BIT-exact vs the
+    reshape spelling — they must be, since nets use them unconditionally."""
+    from vwfd_tpu.ops.squeeze import depth_to_space_conv, space_to_depth_conv
+    x = jnp.asarray(rng.random((2, 16, 16, 5), dtype=np.float32))
+    z = x.reshape(2, 16 // s, s, 16 // s, s, 5)
+    want = z.transpose(0, 1, 3, 2, 4, 5).reshape(2, 16 // s, 16 // s,
+                                                 s * s * 5)
+    got = space_to_depth_conv(x, s)
+    assert float(jnp.abs(got - want).max()) == 0.0
+    back = depth_to_space_conv(got, s)
+    assert float(jnp.abs(back - x).max()) == 0.0
+    # bf16 path stays exact too (0/1 weights, one contribution per output)
+    xb = x.astype(jnp.bfloat16)
+    assert float(jnp.abs(space_to_depth_conv(xb, s).astype(jnp.float32)
+                         - want.astype(jnp.bfloat16).astype(jnp.float32)
+                         ).max()) == 0.0
+
+
 # ---------------------------------------------------------------- resize
 
 

@@ -39,6 +39,12 @@ class ModelConfig:
     # Pallas kernel (A/B tool, slower in-context — BASELINE.md r2).
     inn_subnet: str = "res"
     inn_width: int = 0            # coupling trunk width (0 = reference's 64)
+    # Haar squeeze implementation inside the INN: "lift" = reshape+add
+    # lifting (minimal FLOPs — reference-equivalent); "conv" = the same
+    # linear map as a fixed-weight stride-2 (transposed) conv, which keeps
+    # tensors in conv-native layouts and avoids XLA:TPU data-formatting
+    # copies around every squeeze (ops/haar.py; BASELINE.md r3 layout study).
+    inn_haar: str = "lift"
     # fused_st=True: each coupling (s,t) pair from ONE trunk with a
     # double-width head (TPU default). False = the reference's four separate
     # subnets (invertible_net.py:122-175) — REQUIRED to load converted

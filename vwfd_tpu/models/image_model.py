@@ -101,7 +101,7 @@ class ImageImmunizationModel:
         self.netG = InvertibleNet(channels=4, down_num=mc.inn_down_num,
                                   block_num=mc.inn_block_num,
                                   subnet=mc.inn_subnet,
-                                  fused_st=mc.fused_st,
+                                  fused_st=mc.fused_st, haar=mc.inn_haar,
                                   dtype=self.compute_dtype)
         self.localizer = UNetDiscriminator(
             dim=mc.localizer_dim, residual_blocks=mc.localizer_residual_blocks,

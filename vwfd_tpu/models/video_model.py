@@ -71,7 +71,7 @@ class VideoWatermarkModel:
         self.inn = InvertibleNet(
             channels=3 * self.frames, down_num=mc.inn_down_num,
             block_num=mc.inn_block_num, subnet=mc.inn_subnet,
-            width=mc.inn_width, fused_st=mc.fused_st,
+            width=mc.inn_width, fused_st=mc.fused_st, haar=mc.inn_haar,
             dtype=self.compute_dtype)
         if mc.extractor in ("unet_tpu", "unet_tpu_slim", "unet_tpu2"):
             self.unet = UNetTPU(out_channels=1,

@@ -17,7 +17,8 @@ from typing import Sequence, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.haar import haar_downsample, haar_upsample
+from ..ops.haar import (haar_downsample, haar_downsample_conv, haar_upsample,
+                        haar_upsample_conv)
 from .blocks import scaled_glorot
 
 _CLAMP = 1.0
@@ -133,16 +134,27 @@ class ResSubnetTPUS2(nn.Module):
     out_channels: int
     feature: int = 128
     dtype: object = None
+    # Express the space↔depth squeezes as fixed permutation convs
+    # (ops/squeeze.py) instead of reshape+transpose: bit-identical outputs
+    # and params, but no XLA layout round-trips between the squeezes and the
+    # trunk convs (the r3 embed profile's dominant cost). False keeps the
+    # reshape spelling (useful to A/B the layout effect in isolation).
+    conv_squeeze: bool = True
 
     @nn.compact
     def __call__(self, x):
+        from ..ops.squeeze import depth_to_space_conv, space_to_depth_conv
         init = scaled_glorot(0.1)
         dt = self.dtype
         if dt is not None:
             x = x.astype(dt)
         b, hh, ww, c = x.shape
-        z = x.reshape(b, hh // 2, 2, ww // 2, 2, c)
-        z = z.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh // 2, ww // 2, 4 * c)
+        if self.conv_squeeze:
+            z = space_to_depth_conv(x)
+        else:
+            z = x.reshape(b, hh // 2, 2, ww // 2, 2, c)
+            z = z.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, hh // 2, ww // 2, 4 * c)
         h = nn.elu(nn.Conv(self.feature, (3, 3), padding=1, kernel_init=init,
                            dtype=dt)(z))
         h = nn.elu(nn.Conv(self.feature, (3, 3), padding=1, kernel_init=init,
@@ -150,6 +162,8 @@ class ResSubnetTPUS2(nn.Module):
         out = nn.Conv(4 * self.out_channels, (1, 1),
                       kernel_init=nn.initializers.zeros, dtype=dt)(
             jnp.concatenate([z, h], -1))
+        if self.conv_squeeze:
+            return depth_to_space_conv(out)
         out = out.reshape(b, hh // 2, ww // 2, 2, 2, self.out_channels)
         return out.transpose(0, 1, 3, 2, 4, 5).reshape(
             b, hh, ww, self.out_channels)
@@ -293,6 +307,10 @@ class InvertibleNet(nn.Module):
     dtype: object = None        # compute dtype; None = float32
     fused_st: bool = True       # shared (s,t) trunks (see RNVPCoupling)
     width: int = 0              # subnet hidden width override (0 = default 64)
+    # "lift" = reshape+add Haar (reference-equivalent math, minimal FLOPs);
+    # "conv" = identical linear map as fixed-weight stride-2 convs — avoids
+    # the XLA layout copies that dominate the embed profile (ops/haar.py).
+    haar: str = "lift"
 
     def setup(self):
         down, up = [], []
@@ -311,31 +329,38 @@ class InvertibleNet(nn.Module):
         self.down_blocks = down
         self.up_blocks = up
 
+    def _haar(self):
+        if self.haar == "conv":
+            return haar_downsample_conv, haar_upsample_conv
+        return haar_downsample, haar_upsample
+
     def forward(self, x):
+        down, up = self._haar()
         if self.dtype is not None:
             x = x.astype(self.dtype)  # whole chain in compute dtype (AMP-style)
         for blocks in self.down_blocks:
-            x = haar_downsample(x)
+            x = down(x)
             for b in blocks:
                 x = b.forward(x)
         for blocks in self.up_blocks:
-            x = haar_upsample(x)
+            x = up(x)
             for b in blocks:
                 x = b.forward(x)
         return x.astype(jnp.float32)
 
     def inverse(self, y) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        down, up = self._haar()
         if self.dtype is not None:
             y = y.astype(self.dtype)
         for blocks in reversed(self.up_blocks):
             for b in reversed(blocks):
                 y = b.inverse(y)
-            y = haar_downsample(y)
+            y = down(y)
         middle = y.astype(jnp.float32)
         for blocks in reversed(self.down_blocks):
             for b in reversed(blocks):
                 y = b.inverse(y)
-            y = haar_upsample(y)
+            y = up(y)
         y = y.astype(jnp.float32)
         if self.return_middle:
             return y, middle

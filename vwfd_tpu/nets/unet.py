@@ -145,17 +145,26 @@ class UNetTPU(nn.Module):
     # decoder already runs single-conv stages. Convergence-validated in
     # BASELINE.md r3 before becoming anyone's default.
     enc_convs: int = 2
+    # Stem/head squeezes as fixed permutation convs (ops/squeeze.py) instead
+    # of reshape+transpose — bit-identical, avoids XLA layout copies at the
+    # net's highest-resolution tensors (see the r3 embed layout study).
+    conv_squeeze: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        from ..ops.squeeze import depth_to_space_conv, space_to_depth_conv
         f, s = self.init_features, self.s2d
         dt = self.dtype
         b, h, w, c = x.shape
         if dt is not None:
             x = x.astype(dt)
         # space-to-depth stem
-        x = x.reshape(b, h // s, s, w // s, s, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // s, w // s, s * s * c)
+        if self.conv_squeeze:
+            x = space_to_depth_conv(x, s)
+        else:
+            x = x.reshape(b, h // s, s, w // s, s, c)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, h // s, w // s, s * s * c)
 
         ec = self.enc_convs
         enc1 = _DoubleConv(f, dtype=dt, convs=ec, name="enc1")(x, train)
@@ -192,9 +201,12 @@ class UNetTPU(nn.Module):
         # s2d-packed head + depth-to-space back to the input resolution
         out = nn.Conv(self.out_channels * s * s, (1, 1), dtype=dt,
                       name="head")(d1)
-        hh, ww = out.shape[1], out.shape[2]
-        out = out.reshape(b, hh, ww, s, s, self.out_channels)
-        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
-            b, hh * s, ww * s, self.out_channels)
+        if self.conv_squeeze:
+            out = depth_to_space_conv(out, s)
+        else:
+            hh, ww = out.shape[1], out.shape[2]
+            out = out.reshape(b, hh, ww, s, s, self.out_channels)
+            out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, hh * s, ww * s, self.out_channels)
         out = out.astype(jnp.float32)
         return nn.sigmoid(out) if self.apply_sigmoid else out
