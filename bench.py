@@ -54,7 +54,7 @@ def main():
     ap.add_argument("--block-num", type=str, default=None,
                     help="INN coupling schedule override, e.g. '0,2,1' "
                          "(default: reference 1,1,1)")
-    ap.add_argument("--haar", type=str, default="lift",
+    ap.add_argument("--haar", type=str, default="conv",
                     help="INN Haar squeeze impl: lift (reshape+add) | conv "
                          "(fixed-weight stride-2 convs — layout-stable, "
                          "see ops/haar.py)")

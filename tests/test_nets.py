@@ -53,6 +53,31 @@ def test_inn_conv_haar_equivalence(rng):
     assert float(jnp.abs(x_rec - x).max()) < 1e-4
 
 
+def test_inn_mixed_haar_and_bf16_out(rng):
+    """haar='mixed' (conv at narrow bands, lift at wide) matches 'lift' on the
+    same params; out_f32=False returns the compute dtype and is value-identical
+    after the cast the caller performs (bf16→f32 is exact)."""
+    kw = dict(channels=4, down_num=2, block_num=(1, 1), subnet="res_tpu2")
+    lift = nets.InvertibleNet(haar="lift", **kw)
+    mixed = nets.InvertibleNet(haar="mixed", **kw)
+    x = jnp.asarray(rng.random((2, 16, 16, 4), dtype=np.float32))
+    params = lift.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_allclose(np.asarray(mixed.apply(params, x)),
+                               np.asarray(lift.apply(params, x)), atol=1e-5)
+    x_rec, _ = mixed.apply(params, mixed.apply(params, x), rev=True)
+    assert float(jnp.abs(x_rec - x).max()) < 1e-4
+
+    bf = nets.InvertibleNet(haar="lift", out_f32=False,
+                            dtype=jnp.bfloat16, **kw)
+    f32 = nets.InvertibleNet(haar="lift", out_f32=True,
+                             dtype=jnp.bfloat16, **kw)
+    y_bf = bf.apply(params, x)
+    y_f32 = f32.apply(params, x)
+    assert y_bf.dtype == jnp.bfloat16 and y_f32.dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(y_bf.astype(jnp.float32)), np.asarray(y_f32))
+
+
 def test_inn_dense_variant(rng):
     model = nets.InvertibleNet(channels=3, down_num=2, block_num=(2, 2),
                                subnet="dense", return_middle=False)

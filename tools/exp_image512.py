@@ -18,6 +18,8 @@ def main():
     ap.add_argument("--subnet", default="res",
                     help="INN coupling subnet: res (reference-shaped, the "
                          "r2 measurement) | res_tpu | res_tpu2 (MXU-shaped)")
+    ap.add_argument("--haar", default="lift",
+                    help="INN Haar impl: lift | conv | mixed (ops/haar.py)")
     args = ap.parse_args()
 
     import jax
@@ -42,7 +44,8 @@ def main():
         # reference trains this on 24-48 GB GPUs)
         model = ImageImmunizationModel(
             Config(data=DataConfig(gt_size=s, batch_size=b),
-                   model=ModelConfig(inn_subnet=args.subnet)),
+                   model=ModelConfig(inn_subnet=args.subnet,
+                                     inn_haar=args.haar)),
             task=task, reverse_k=3)
         states = model.init_states(jax.random.PRNGKey(0))
         key = jax.random.PRNGKey(1)

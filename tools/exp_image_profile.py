@@ -28,6 +28,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("task", nargs="?", default="clr", choices=["pami", "clr"])
     ap.add_argument("--subnet", default="res")
+    ap.add_argument("--haar", default="lift",
+                    help="INN Haar impl: lift | conv | mixed (ops/haar.py)")
     ap.add_argument("--localizer-dim", type=int, default=0,
                     help="override ModelConfig.localizer_dim (0 = config)")
     ap.add_argument("--size", type=int, default=512)
@@ -57,7 +59,7 @@ def main():
     batch = ImageBatch(img, canny, jnp.asarray(m))
     prev = jnp.clip(img + 0.03, 0, 1)
 
-    mc = {"inn_subnet": args.subnet}
+    mc = {"inn_subnet": args.subnet, "inn_haar": args.haar}
     if args.localizer_dim:
         mc["localizer_dim"] = args.localizer_dim
     model = ImageImmunizationModel(

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--tracedir", default="/tmp/vwfd_trace")
     ap.add_argument("--extractor", default="unet_tpu")
     ap.add_argument("--subnet", default="res_tpu2")
+    ap.add_argument("--haar", default="conv",
+                    help="INN Haar impl: lift | conv | mixed (ops/haar.py)")
     ap.add_argument("--scope", default=None,
                     help="print top ops inside one named scope "
                          "(Sembed|Sattack|Sextract|(unattributed))")
@@ -44,7 +46,8 @@ def main():
     size, frames, batch = 256, 4, args.batch
     cfg = Config(data=DataConfig(gt_size=size, frames=frames, batch_size=batch),
                  model=ModelConfig(extractor=args.extractor,
-                                   inn_subnet=args.subnet),
+                                   inn_subnet=args.subnet,
+                                   inn_haar=args.haar),
                  train=TrainConfig(dtype="bfloat16"))
     model = VideoWatermarkModel(cfg)
     states = model.init_states(jax.random.PRNGKey(0))

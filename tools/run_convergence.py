@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--block-num", default=None,
                     help="INN coupling schedule, e.g. '0,2,1' (default: "
                          "reference 1,1,1)")
+    ap.add_argument("--haar", default="lift",
+                    help="INN Haar impl: lift | conv | mixed (ops/haar.py)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -61,6 +63,7 @@ def main():
         model=ModelConfig(extractor=args.extractor, inn_subnet=args.subnet,
                           extractor_s2d=args.s2d,
                           extractor_features=args.efeatures,
+                          inn_haar=args.haar,
                           **({"inn_block_num": tuple(
                               int(s) for s in args.block_num.split(","))}
                              if args.block_num else {})),
@@ -123,6 +126,7 @@ def main():
     f.write(json.dumps({"config": {
         "subnet": args.subnet, "extractor": args.extractor,
         "s2d": args.s2d, "efeatures": args.efeatures,
+        "haar": args.haar,
         "block_num": args.block_num or "1,1,1", "size": args.size,
         "batch": args.batch, "frames": args.frames,
         "criterion": args.criterion}}) + "\n")

@@ -72,6 +72,10 @@ class VideoWatermarkModel:
             channels=3 * self.frames, down_num=mc.inn_down_num,
             block_num=mc.inn_block_num, subnet=mc.inn_subnet,
             width=mc.inn_width, fused_st=mc.fused_st, haar=mc.inn_haar,
+            # bf16 transpose-then-quantize epilogue: interacts with the Haar
+            # impl (fps matrix in BASELINE.md r3 layout study) — the promoted
+            # (conv-Haar, bf16-epilogue) pair is the measured optimum
+            out_f32=self.compute_dtype is None,
             dtype=self.compute_dtype)
         if mc.extractor in ("unet_tpu", "unet_tpu_slim", "unet_tpu2"):
             self.unet = UNetTPU(out_channels=1,
@@ -124,8 +128,8 @@ class VideoWatermarkModel:
         x = _to_channels(video)
         fwd = self.inn.apply({"params": states["netG"].params,
                               **states["netG"].variables}, x)
-        fwd = ste_quantize_255(clamp_with_grad(fwd))
-        return _to_frames(fwd, self.frames)
+        fwd = _to_frames(fwd, self.frames)  # bf16 transpose, then f32 quantize
+        return ste_quantize_255(clamp_with_grad(fwd.astype(jnp.float32)))
 
     def predict_mask(self, states, video, train=False):
         """UNet tamper mask per frame; frames folded into batch."""
@@ -156,8 +160,9 @@ class VideoWatermarkModel:
                              if self.compute_dtype is not None else video)
             fwd = self.inn.apply({"params": params["netG"],
                                   **states["netG"].variables}, x)
-            fwd = ste_quantize_255(clamp_with_grad(fwd))
-            fwd_video = _to_frames(fwd, t)
+            fwd_video = _to_frames(fwd, t)  # bf16 transpose, then f32 quantize
+            fwd_video = ste_quantize_255(
+                clamp_with_grad(fwd_video.astype(jnp.float32)))
 
         with jax.named_scope("Sattack"):
             # splice tamper with the previous batch (IRNcrop_model.py:348)

@@ -309,8 +309,15 @@ class InvertibleNet(nn.Module):
     width: int = 0              # subnet hidden width override (0 = default 64)
     # "lift" = reshape+add Haar (reference-equivalent math, minimal FLOPs);
     # "conv" = identical linear map as fixed-weight stride-2 convs — avoids
-    # the XLA layout copies that dominate the embed profile (ops/haar.py).
+    # the XLA layout copies that dominate the embed profile (ops/haar.py);
+    # "mixed" = conv where the band count is small (C ≤ 64: big copies,
+    # trivial MACs — the shallow high-res levels) and lift at the deep
+    # wide-channel levels where the conv bank's MACs outweigh the copies.
     haar: str = "lift"
+    # Skip the final astype(float32): callers that transpose/pack the output
+    # can do so at half the copy bytes and cast afterwards (value-identical
+    # — bf16→f32 is exact). The reverse/middle outputs stay f32 either way.
+    out_f32: bool = True
 
     def setup(self):
         down, up = [], []
@@ -332,6 +339,15 @@ class InvertibleNet(nn.Module):
     def _haar(self):
         if self.haar == "conv":
             return haar_downsample_conv, haar_upsample_conv
+        if self.haar == "mixed":
+            def down(x):
+                return (haar_downsample_conv(x) if x.shape[-1] <= 64
+                        else haar_downsample(x))
+
+            def up(y):
+                return (haar_upsample_conv(y) if y.shape[-1] <= 256
+                        else haar_upsample(y))
+            return down, up
         return haar_downsample, haar_upsample
 
     def forward(self, x):
@@ -346,7 +362,7 @@ class InvertibleNet(nn.Module):
             x = up(x)
             for b in blocks:
                 x = b.forward(x)
-        return x.astype(jnp.float32)
+        return x if not self.out_f32 else x.astype(jnp.float32)
 
     def inverse(self, y) -> Tuple[jnp.ndarray, jnp.ndarray]:
         down, up = self._haar()
