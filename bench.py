@@ -51,6 +51,14 @@ def main():
                          "4 = coarser/faster experiment)")
     ap.add_argument("--efeatures", type=int, default=64,
                     help="UNetTPU channel base (extractor_features)")
+    ap.add_argument("--ehead", type=str, default="d2s",
+                    help="UNetTPU head lowering: d2s | convt (composed "
+                         "transposed conv — same map, no 4-lane packed "
+                         "intermediate)")
+    ap.add_argument("--packed", action="store_true",
+                    help="packed-space INN executor (nets/inn_packed.py): "
+                         "<256-ch levels held s2d-packed at trunk "
+                         "resolution; value-identical, same params")
     ap.add_argument("--block-num", type=str, default=None,
                     help="INN coupling schedule override, e.g. '0,2,1' "
                          "(default: reference 1,1,1)")
@@ -86,7 +94,9 @@ def main():
         mc = ModelConfig(inn_subnet=args.subnet, extractor=args.extractor,
                          extractor_s2d=args.s2d,
                          extractor_features=args.efeatures,
+                         extractor_head=args.ehead,
                          inn_haar=args.haar,
+                         inn_packed=args.packed,
                          **({"inn_block_num": tuple(
                              int(s) for s in args.block_num.split(","))}
                             if args.block_num else {}))

@@ -204,6 +204,96 @@ def test_unet_tpu_conv_squeeze_bit_exact(rng):
     assert float(jnp.abs(ya - yb).max()) == 0.0
 
 
+def test_unet_tpu_head_convt_exact(rng):
+    """The composed-transposed-conv head ("convt") is numerically identical
+    to the 1×1-conv + depth-to-space spelling, with the SAME param tree —
+    it is the head∘d2s affine map contracted at trace time (nets/unet.py)."""
+    import jax
+    from vwfd_tpu.nets import UNetTPU
+
+    a = UNetTPU(out_channels=1, init_features=8, head_impl="d2s")
+    b = UNetTPU(out_channels=1, init_features=8, head_impl="convt")
+    x = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    v = a.init(jax.random.PRNGKey(0), x)
+    vb = b.init(jax.random.PRNGKey(1), x)
+    assert (jax.tree_util.tree_structure(v) ==
+            jax.tree_util.tree_structure(vb))
+    # non-trivial head bias so the per-subpixel bias tiling is exercised
+    v = jax.tree_util.tree_map_with_path(
+        lambda path, p: p + 0.3 if (path[0].key == "params"
+                                    and path[1].key == "head"
+                                    and path[-1].key == "bias") else p, v)
+    ya = a.apply(v, x, train=False)
+    yb = b.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_inn_packed_executor_parity(rng):
+    """The packed-space executor (nets/inn_packed.py) matches the module
+    path on the SAME param tree: identical operations in a different
+    association order (fixed orthogonal transition convs replace the
+    s2d/d2s + Haar permutation chains). Forward is tight in f32; bf16
+    tracks to bf16 rounding; the f32 inverse round-trips the bottleneck."""
+    import jax
+    from vwfd_tpu.nets import InvertibleNet, inn_packed
+
+    def perturb(path, a):
+        # coupling heads are zero-init (identity couplings) — give them
+        # small random values so s/t are exercised
+        if any(getattr(k, "key", "") == "Conv_2" for k in path):
+            return a + jnp.asarray(0.05 * rng.standard_normal(a.shape),
+                                   np.float32)
+        return a
+
+    x = jnp.asarray(rng.random((2, 32, 32, 12), dtype=np.float32))
+    for dt, tol in [(None, 2e-5), (jnp.bfloat16, 3e-2)]:
+        net = InvertibleNet(channels=12, down_num=3, block_num=(1, 1, 1),
+                            subnet="res_tpu2", fused_st=True, dtype=dt)
+        v = net.init(jax.random.PRNGKey(0), x)
+        p = jax.tree_util.tree_map_with_path(perturb, v["params"])
+        y_mod = net.apply({"params": p}, x).astype(jnp.float32)
+        y_pk = inn_packed.forward(p, x, channels=12, down_num=3, dtype=dt)
+        scale = float(jnp.abs(y_mod).max())
+        assert float(jnp.abs(y_mod - y_pk).max()) / scale < tol
+        if dt is None:  # inverse: divisions amplify — assert in f32 only
+            inv_mod, mid_mod = net.apply({"params": p}, y_mod, rev=True)
+            inv_pk, mid_pk = inn_packed.inverse(p, y_mod, channels=12,
+                                                down_num=3, dtype=None)
+            assert float(jnp.abs(inv_mod - inv_pk).max()) < 5e-4 * max(
+                1.0, float(jnp.abs(inv_mod).max()))
+            assert float(jnp.abs(mid_mod - mid_pk).max()) < 1e-4 * max(
+                1.0, float(jnp.abs(mid_mod).max()))
+
+
+def test_inn_packed_model_wiring(rng):
+    """`ModelConfig.inn_packed` routes VideoWatermarkModel.embed through the
+    packed executor with unchanged outputs (f32 exercises the exact path)."""
+    import jax
+    from vwfd_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from vwfd_tpu.models import VideoWatermarkModel
+
+    kw = dict(
+        data=DataConfig(gt_size=32, frames=2, batch_size=1),
+        train=TrainConfig(dtype="float32"))
+    base = VideoWatermarkModel(Config(
+        model=ModelConfig(inn_subnet="res_tpu2", inn_down_num=2,
+                          inn_block_num=(1, 1), extractor="unet_tpu"), **kw))
+    packed = VideoWatermarkModel(Config(
+        model=ModelConfig(inn_subnet="res_tpu2", inn_down_num=2,
+                          inn_block_num=(1, 1), extractor="unet_tpu",
+                          inn_packed=True), **kw))
+    states = base.init_states(jax.random.PRNGKey(0))
+    video = jnp.asarray(rng.random((1, 2, 32, 32, 3), dtype=np.float32))
+    a = base.embed(states, video)
+    b = packed.embed(states, video)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=2e-5, atol=2e-5)
+    with pytest.raises(ValueError):
+        VideoWatermarkModel(Config(
+            model=ModelConfig(inn_subnet="res", inn_packed=True), **kw))
+
+
 @pytest.mark.parametrize("subnet", ["res_tpu", "res_tpu2"])
 def test_inn_invertibility_res_tpu(rng, subnet):
     """The MXU-shaped trunks keep exact invertibility (same coupling math,

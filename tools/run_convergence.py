@@ -45,6 +45,8 @@ def main():
                          "reference 1,1,1)")
     ap.add_argument("--haar", default="lift",
                     help="INN Haar impl: lift | conv | mixed (ops/haar.py)")
+    ap.add_argument("--packed", action="store_true",
+                    help="packed-space INN executor (nets/inn_packed.py)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -64,6 +66,7 @@ def main():
                           extractor_s2d=args.s2d,
                           extractor_features=args.efeatures,
                           inn_haar=args.haar,
+                          inn_packed=args.packed,
                           **({"inn_block_num": tuple(
                               int(s) for s in args.block_num.split(","))}
                              if args.block_num else {})),

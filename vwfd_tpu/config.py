@@ -45,6 +45,13 @@ class ModelConfig:
     # tensors in conv-native layouts and avoids XLA:TPU data-formatting
     # copies around every squeeze (ops/haar.py; BASELINE.md r3 layout study).
     inn_haar: str = "lift"
+    # Packed-space INN executor (nets/inn_packed.py): run every <256-channel
+    # level space-to-depth-packed at its coupling-trunk resolution, fusing
+    # the per-subnet s2d/d2s pairs and the Haar squeezes into fixed
+    # orthogonal transition convs. Value-identical math, identical param
+    # tree (checkpoints interchange); valid only for inn_subnet="res_tpu2"
+    # with fused_st=True (asserted at model build).
+    inn_packed: bool = False
     # fused_st=True: each coupling (s,t) pair from ONE trunk with a
     # double-width head (TPU default). False = the reference's four separate
     # subnets (invertible_net.py:122-175) — REQUIRED to load converted
@@ -65,6 +72,10 @@ class ModelConfig:
     extractor: str = "unet"
     extractor_features: int = 64        # UNetTPU channel base
     extractor_s2d: int = 2              # UNetTPU space-to-depth stem factor
+    # UNetTPU head lowering: "d2s" = 1×1 conv to s²·out packed logits +
+    # depth-to-space; "convt" = the same affine map composed into one s×s
+    # stride-s transposed conv (identical params/output — see nets/unet.py).
+    extractor_head: str = "d2s"
     localizer_dim: int = 16
     localizer_residual_blocks: int = 2
     discriminator_dim: int = 32

@@ -77,6 +77,11 @@ class VideoWatermarkModel:
             # (conv-Haar, bf16-epilogue) pair is the measured optimum
             out_f32=self.compute_dtype is None,
             dtype=self.compute_dtype)
+        if mc.inn_packed and not (mc.inn_subnet == "res_tpu2" and
+                                  mc.fused_st):
+            raise ValueError("inn_packed requires inn_subnet='res_tpu2' "
+                             "with fused_st=True (nets/inn_packed.py)")
+        self.inn_packed = mc.inn_packed
         if mc.extractor in ("unet_tpu", "unet_tpu_slim", "unet_tpu2"):
             self.unet = UNetTPU(out_channels=1,
                                 init_features=mc.extractor_features,
@@ -84,6 +89,7 @@ class VideoWatermarkModel:
                                 enc_convs=1 if mc.extractor == "unet_tpu2"
                                 else 2,
                                 s2d=mc.extractor_s2d,
+                                head_impl=mc.extractor_head,
                                 dtype=self.compute_dtype)
         else:
             self.unet = UNet(out_channels=1, init_features=mc.unet_features,
@@ -119,6 +125,19 @@ class VideoWatermarkModel:
 
     # ------------------------------------------------------------ forward ops
 
+    def _inn_forward(self, params, variables, x):
+        """INN forward — module path, or the packed-space executor
+        (nets/inn_packed.py, value-identical, same param tree) when
+        `ModelConfig.inn_packed` is set."""
+        if self.inn_packed:
+            from ..nets import inn_packed
+            return inn_packed.forward(
+                params, x, channels=3 * self.frames,
+                down_num=self.cfg.model.inn_down_num,
+                dtype=self.compute_dtype,
+                out_f32=self.compute_dtype is None)
+        return self.inn.apply({"params": params, **variables}, x)
+
     def embed(self, states, video):
         """Watermark-embed a video clip: INN fwd + clamp + quantize."""
         if self.compute_dtype is not None:
@@ -126,8 +145,8 @@ class VideoWatermarkModel:
             # anyway, and transposing f32 doubles the copy traffic (r3 profile)
             video = video.astype(self.compute_dtype)
         x = _to_channels(video)
-        fwd = self.inn.apply({"params": states["netG"].params,
-                              **states["netG"].variables}, x)
+        fwd = self._inn_forward(states["netG"].params,
+                                states["netG"].variables, x)
         fwd = _to_frames(fwd, self.frames)  # bf16 transpose, then f32 quantize
         return ste_quantize_255(clamp_with_grad(fwd.astype(jnp.float32)))
 
@@ -158,8 +177,8 @@ class VideoWatermarkModel:
         with jax.named_scope("Sembed"):
             x = _to_channels(video.astype(self.compute_dtype)
                              if self.compute_dtype is not None else video)
-            fwd = self.inn.apply({"params": params["netG"],
-                                  **states["netG"].variables}, x)
+            fwd = self._inn_forward(params["netG"],
+                                    states["netG"].variables, x)
             fwd_video = _to_frames(fwd, t)  # bf16 transpose, then f32 quantize
             fwd_video = ste_quantize_255(
                 clamp_with_grad(fwd_video.astype(jnp.float32)))

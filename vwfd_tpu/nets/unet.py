@@ -12,6 +12,7 @@ the flagship/bench extractor once localization parity was shown
 
 import jax.numpy as jnp
 import flax.linen as nn
+from jax import lax
 
 
 class _DoubleConv(nn.Module):
@@ -43,6 +44,21 @@ class _UpParams(nn.Module):
         k = self.param("kernel", nn.initializers.lecun_normal(),
                        (2, 2, self.cin, self.feats))
         b = self.param("bias", nn.initializers.zeros, (self.feats,))
+        return k, b
+
+
+class _HeadParams(nn.Module):
+    """Declares the exact nn.Conv param tree ({kernel, bias}, same inits) so
+    the composed-transposed-conv head interchanges checkpoints with the
+    1×1-conv spelling."""
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, self.cin, self.cout))
+        b = self.param("bias", nn.initializers.zeros, (self.cout,))
         return k, b
 
 
@@ -149,6 +165,13 @@ class UNetTPU(nn.Module):
     # of reshape+transpose — bit-identical, avoids XLA layout copies at the
     # net's highest-resolution tensors (see the r3 embed layout study).
     conv_squeeze: bool = True
+    # Head lowering. "d2s": 1×1 conv to s²·out channels + depth-to-space
+    # (the r3 profile shows XLA schedules this 4-lane conv at ~6× its bytes
+    # roof — 1.99 ms of the 15.6 ms extract stage). "convt": the SAME affine
+    # map — head∘d2s composed at trace time into one s×s stride-s transposed
+    # conv (plus the per-subpixel bias the composition implies) — identical
+    # params, bit-identical output, no 4-lane intermediate.
+    head_impl: str = "d2s"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -199,14 +222,34 @@ class UNetTPU(nn.Module):
         d1 = dec(up(d2, f, "up1"), enc1, f, "dec1")
 
         # s2d-packed head + depth-to-space back to the input resolution
-        out = nn.Conv(self.out_channels * s * s, (1, 1), dtype=dt,
-                      name="head")(d1)
-        if self.conv_squeeze:
-            out = depth_to_space_conv(out, s)
+        if self.head_impl == "convt":
+            # Same params and same affine map as the d2s spelling, composed
+            # at trace time: out[:, s·i+p, s·j+q, c] =
+            #   d1[:, i, j] @ K[0,0,:, (p·s+q)·C+c] + bias[(p·s+q)·C+c].
+            # As one s×s stride-s transposed conv the 4-lane packed-logit
+            # intermediate never exists (it measured 6× its bytes roof).
+            cin, C = d1.shape[-1], self.out_channels
+            kern, bias = _HeadParams(cin, C * s * s, name="head")()
+            w2 = kern[0, 0].reshape(cin, s, s, C)
+            # flip convention matches ops/squeeze.py::_s2d_kernel(transpose)
+            kt = w2.transpose(1, 2, 0, 3)[::-1, ::-1]
+            if dt is not None:
+                kt = kt.astype(dt)
+            out = lax.conv_transpose(d1, kt, strides=(s, s), padding="VALID",
+                                     dimension_numbers=("NHWC", "HWIO",
+                                                        "NHWC"))
+            bgrid = bias.reshape(s, s, C).astype(out.dtype)
+            out = out + jnp.tile(bgrid, (out.shape[1] // s,
+                                         out.shape[2] // s, 1))
         else:
-            hh, ww = out.shape[1], out.shape[2]
-            out = out.reshape(b, hh, ww, s, s, self.out_channels)
-            out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
-                b, hh * s, ww * s, self.out_channels)
+            out = nn.Conv(self.out_channels * s * s, (1, 1), dtype=dt,
+                          name="head")(d1)
+            if self.conv_squeeze:
+                out = depth_to_space_conv(out, s)
+            else:
+                hh, ww = out.shape[1], out.shape[2]
+                out = out.reshape(b, hh, ww, s, s, self.out_channels)
+                out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    b, hh * s, ww * s, self.out_channels)
         out = out.astype(jnp.float32)
         return nn.sigmoid(out) if self.apply_sigmoid else out
