@@ -55,10 +55,13 @@ def main():
                     help="UNetTPU head lowering: d2s | convt (composed "
                          "transposed conv — same map, no 4-lane packed "
                          "intermediate)")
-    ap.add_argument("--packed", action="store_true",
+    ap.add_argument("--packed", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="packed-space INN executor (nets/inn_packed.py): "
                          "<256-ch levels held s2d-packed at trunk "
-                         "resolution; value-identical, same params")
+                         "resolution; value-identical, same params "
+                         "(flagship default — BASELINE.md r3 packed table; "
+                         "--no-packed for the module path)")
     ap.add_argument("--block-num", type=str, default=None,
                     help="INN coupling schedule override, e.g. '0,2,1' "
                          "(default: reference 1,1,1)")
@@ -96,7 +99,9 @@ def main():
                          extractor_features=args.efeatures,
                          extractor_head=args.ehead,
                          inn_haar=args.haar,
-                         inn_packed=args.packed,
+                         # the packed executor only exists for the flagship
+                         # trunk — silently off for A/B subnets
+                         inn_packed=args.packed and args.subnet == "res_tpu2",
                          **({"inn_block_num": tuple(
                              int(s) for s in args.block_num.split(","))}
                             if args.block_num else {}))

@@ -30,3 +30,6 @@ def test_video_yaml_matches_bench_flagship():
     src = open(os.path.join(_CFG_DIR, "..", "..", "bench.py")).read()
     assert 'default="%s"' % cfg.model.inn_subnet in src
     assert 'default="%s"' % cfg.model.extractor in src
+    # the packed-space executor is the flagship default in both places
+    assert cfg.model.inn_packed is True
+    assert "--packed" in src and "default=True" in src

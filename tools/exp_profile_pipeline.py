@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--scope", default=None,
                     help="print top ops inside one named scope "
                          "(Sembed|Sattack|Sextract|(unattributed))")
+    ap.add_argument("--packed", action="store_true",
+                    help="packed-space INN executor (nets/inn_packed.py)")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +49,9 @@ def main():
     cfg = Config(data=DataConfig(gt_size=size, frames=frames, batch_size=batch),
                  model=ModelConfig(extractor=args.extractor,
                                    inn_subnet=args.subnet,
-                                   inn_haar=args.haar),
+                                   inn_haar=args.haar,
+                                   inn_packed=(args.packed and
+                                               args.subnet == "res_tpu2")),
                  train=TrainConfig(dtype="bfloat16"))
     model = VideoWatermarkModel(cfg)
     states = model.init_states(jax.random.PRNGKey(0))
