@@ -55,6 +55,12 @@ def main():
                     help="UNetTPU head lowering: d2s | convt (composed "
                          "transposed conv — same map, no 4-lane packed "
                          "intermediate)")
+    ap.add_argument("--eup", type=str, default="convt",
+                    help="UNetTPU upsample lowering: convt | gemm (1×1 GEMM "
+                         "+ conv-d2s — same params, identical map)")
+    ap.add_argument("--edec", type=str, default="concat",
+                    help="UNetTPU decoder-conv lowering: concat | split "
+                         "(kernel-sliced convs, concat never materialized)")
     ap.add_argument("--packed", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="packed-space INN executor (nets/inn_packed.py): "
@@ -98,6 +104,8 @@ def main():
                          extractor_s2d=args.s2d,
                          extractor_features=args.efeatures,
                          extractor_head=args.ehead,
+                         extractor_up=args.eup,
+                         extractor_dec=args.edec,
                          inn_haar=args.haar,
                          # the packed executor only exists for the flagship
                          # trunk — silently off for A/B subnets

@@ -204,6 +204,29 @@ def test_unet_tpu_conv_squeeze_bit_exact(rng):
     assert float(jnp.abs(ya - yb).max()) == 0.0
 
 
+def test_unet_tpu_up_gemm_and_dec_split_exact(rng):
+    """The "gemm" upsample lowering (1×1 GEMM + conv-d2s, ConvTranspose flip
+    convention) and the "split" decoder-conv lowering (kernel-sliced convs,
+    concat never materialized) are numerically identical to the default
+    lowerings on the SAME param tree (nets/unet.py)."""
+    import jax
+    from vwfd_tpu.nets import UNetTPU
+
+    a = UNetTPU(out_channels=1, init_features=8)
+    x = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    v = a.init(jax.random.PRNGKey(0), x)
+    ya = a.apply(v, x, train=False)
+    for kw in ({"up_impl": "gemm"}, {"dec_impl": "split"},
+               {"up_impl": "gemm", "dec_impl": "split"}):
+        b = UNetTPU(out_channels=1, init_features=8, **kw)
+        vb = b.init(jax.random.PRNGKey(1), x)
+        assert (jax.tree_util.tree_structure(v) ==
+                jax.tree_util.tree_structure(vb)), kw
+        yb = b.apply(v, x, train=False)
+        np.testing.assert_allclose(np.asarray(yb), np.asarray(ya),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(kw))
+
+
 def test_unet_tpu_head_convt_exact(rng):
     """The composed-transposed-conv head ("convt") is numerically identical
     to the 1×1-conv + depth-to-space spelling, with the SAME param tree —

@@ -76,6 +76,10 @@ class ModelConfig:
     # depth-to-space; "convt" = the same affine map composed into one s×s
     # stride-s transposed conv (identical params/output — see nets/unet.py).
     extractor_head: str = "d2s"
+    # UNetTPU decoder lowerings (value-identical A/B knobs — nets/unet.py):
+    # upsample "convt" | "gemm"; decoder conv "concat" | "split".
+    extractor_up: str = "convt"
+    extractor_dec: str = "concat"
     localizer_dim: int = 16
     localizer_residual_blocks: int = 2
     discriminator_dim: int = 32

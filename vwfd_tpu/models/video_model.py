@@ -90,6 +90,8 @@ class VideoWatermarkModel:
                                 else 2,
                                 s2d=mc.extractor_s2d,
                                 head_impl=mc.extractor_head,
+                                up_impl=mc.extractor_up,
+                                dec_impl=mc.extractor_dec,
                                 dtype=self.compute_dtype)
         else:
             self.unet = UNet(out_channels=1, init_features=mc.unet_features,

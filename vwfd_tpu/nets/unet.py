@@ -62,6 +62,28 @@ class _HeadParams(nn.Module):
         return k, b
 
 
+class _SplitConcatConv(nn.Module):
+    """`conv(concat([a, b]), K)` evaluated as `conv(a, K[:, :, :ca]) +
+    conv(b, K[:, :, ca:])` — the concat operand is never materialized.
+    Same param tree as the nn.Conv spelling (one HWIO kernel, same init)."""
+    features: int
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, a, b):
+        ca, cb = a.shape[-1], b.shape[-1]
+        kern = self.param("kernel", nn.initializers.kaiming_normal(),
+                          (3, 3, ca + cb, self.features))
+        if self.dtype is not None:
+            kern = kern.astype(self.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+        ya = lax.conv_general_dilated(a, kern[:, :, :ca], (1, 1),
+                                      ((1, 1), (1, 1)), dimension_numbers=dn)
+        yb = lax.conv_general_dilated(b, kern[:, :, ca:], (1, 1),
+                                      ((1, 1), (1, 1)), dimension_numbers=dn)
+        return ya + yb
+
+
 class UNet(nn.Module):
     out_channels: int = 1
     init_features: int = 32
@@ -172,6 +194,18 @@ class UNetTPU(nn.Module):
     # conv (plus the per-subpixel bias the composition implies) — identical
     # params, bit-identical output, no 4-lane intermediate.
     head_impl: str = "d2s"
+    # Decoder-upsample lowering. "convt": nn.ConvTranspose 2×2/s2 (XLA's
+    # input-dilated conv). "gemm": the SAME operator evaluated as one 1×1
+    # GEMM (cin → 4·feats, subpixel-major columns) + the conv-expressed
+    # depth-to-space of ops/squeeze.py — identical params (kernel flip
+    # convention of flax ConvTranspose honored), numerically identical map.
+    up_impl: str = "convt"
+    # Decoder-conv lowering. "concat": 3×3 conv over concat([up, skip]).
+    # "split": the SAME conv as conv(up, K[:, :, :cu]) + conv(skip,
+    # K[:, :, cu:]) — the concat is never materialized; identical param tree
+    # (one (3,3,cu+cs,f) kernel at the same path) and identical output up to
+    # f32 summation-order rounding.
+    dec_impl: str = "concat"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -201,6 +235,18 @@ class UNetTPU(nn.Module):
             nn.max_pool(enc4, (2, 2), (2, 2)), train)
 
         def up(z, feats, name):
+            if self.up_impl == "gemm":
+                cin = z.shape[-1]
+                kern, bias = _UpParams(cin, feats, name=name)()
+                # flax ConvTranspose: out[2i+p, 2j+q, o] = z[i,j] @
+                # K[1-p, 1-q, :, o]; pack GEMM columns subpixel-major
+                # ((p·2+q)·feats + o) to match depth_to_space_conv's order.
+                w2 = kern[::-1, ::-1].transpose(2, 0, 1, 3).reshape(
+                    cin, 4 * feats)
+                if dt is not None:
+                    z, w2 = z.astype(dt), w2.astype(dt)
+                h = depth_to_space_conv(z @ w2, 2)
+                return h + bias.astype(h.dtype)
             return nn.ConvTranspose(feats, (2, 2), strides=(2, 2), dtype=dt,
                                     name=name)(z)
 
@@ -208,10 +254,14 @@ class UNetTPU(nn.Module):
             if self.slim_skip:
                 skip = nn.Conv(skip.shape[-1] // 2, (1, 1), use_bias=False,
                                dtype=dt, name=f"{name}_skipproj")(skip)
-            z = jnp.concatenate([z, skip], -1)
-            z = nn.Conv(feats, (3, 3), padding=1, use_bias=False,
-                        kernel_init=nn.initializers.kaiming_normal(),
-                        dtype=dt, name=f"{name}_conv")(z)
+            if self.dec_impl == "split":
+                z = _SplitConcatConv(feats, dtype=dt,
+                                     name=f"{name}_conv")(z, skip)
+            else:
+                z = jnp.concatenate([z, skip], -1)
+                z = nn.Conv(feats, (3, 3), padding=1, use_bias=False,
+                            kernel_init=nn.initializers.kaiming_normal(),
+                            dtype=dt, name=f"{name}_conv")(z)
             z = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=dt, name=f"{name}_bn")(z)
             return nn.relu(z)
