@@ -55,6 +55,9 @@ def main():
                     help="UNetTPU head lowering: d2s | convt (composed "
                          "transposed conv — same map, no 4-lane packed "
                          "intermediate)")
+    ap.add_argument("--econvs", type=str, default=None,
+                    help="UNetTPU per-level encoder-conv plan, e.g. "
+                         "'2,1,1,1,1' (enc1..enc4, bottleneck)")
     ap.add_argument("--eup", type=str, default="convt",
                     help="UNetTPU upsample lowering: convt | gemm (1×1 GEMM "
                          "+ conv-d2s — same params, identical map)")
@@ -106,6 +109,9 @@ def main():
                          extractor_head=args.ehead,
                          extractor_up=args.eup,
                          extractor_dec=args.edec,
+                         extractor_enc_convs=(tuple(
+                             int(s) for s in args.econvs.split(","))
+                             if args.econvs else None),
                          inn_haar=args.haar,
                          # the packed executor only exists for the flagship
                          # trunk — silently off for A/B subnets

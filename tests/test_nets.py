@@ -227,6 +227,23 @@ def test_unet_tpu_up_gemm_and_dec_split_exact(rng):
                                    rtol=1e-5, atol=1e-6, err_msg=str(kw))
 
 
+def test_unet_tpu_per_level_enc_convs(rng):
+    """A 5-tuple `enc_convs` gives a per-level encoder plan (enc1..enc4,
+    bottleneck): levels with 1 conv declare only Conv_0/BatchNorm_0."""
+    import jax
+    from vwfd_tpu.nets import UNetTPU
+
+    net = UNetTPU(out_channels=1, init_features=8,
+                  enc_convs=(2, 1, 1, 1, 1))
+    x = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))
+    v = net.init(jax.random.PRNGKey(0), x)
+    p = v["params"]
+    assert "Conv_1" in p["enc1"] and "Conv_1" not in p["enc2"]
+    assert "Conv_1" not in p["bottleneck"]
+    y = net.apply(v, x, train=False)
+    assert y.shape == (1, 32, 32, 1)
+
+
 def test_unet_tpu_head_convt_exact(rng):
     """The composed-transposed-conv head ("convt") is numerically identical
     to the 1×1-conv + depth-to-space spelling, with the SAME param tree —

@@ -47,6 +47,9 @@ def main():
                     help="INN Haar impl: lift | conv | mixed (ops/haar.py)")
     ap.add_argument("--packed", action="store_true",
                     help="packed-space INN executor (nets/inn_packed.py)")
+    ap.add_argument("--econvs", default=None,
+                    help="UNetTPU per-level encoder-conv plan, e.g. "
+                         "'2,1,1,1,1' (enc1..enc4, bottleneck)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -67,6 +70,9 @@ def main():
                           extractor_features=args.efeatures,
                           inn_haar=args.haar,
                           inn_packed=args.packed,
+                          extractor_enc_convs=(tuple(
+                              int(s) for s in args.econvs.split(","))
+                              if args.econvs else None),
                           **({"inn_block_num": tuple(
                               int(s) for s in args.block_num.split(","))}
                              if args.block_num else {})),

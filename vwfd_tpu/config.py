@@ -80,6 +80,10 @@ class ModelConfig:
     # upsample "convt" | "gemm"; decoder conv "concat" | "split".
     extractor_up: str = "convt"
     extractor_dec: str = "concat"
+    # Per-level encoder-conv plan (enc1..enc4, bottleneck) for finer
+    # speed/quality frontier points, e.g. (2, 1, 1, 1, 1). None = the
+    # extractor's default (2, or 1 for "unet_tpu2").
+    extractor_enc_convs: Optional[Tuple[int, ...]] = None
     localizer_dim: int = 16
     localizer_residual_blocks: int = 2
     discriminator_dim: int = 32

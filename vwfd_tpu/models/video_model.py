@@ -86,8 +86,11 @@ class VideoWatermarkModel:
             self.unet = UNetTPU(out_channels=1,
                                 init_features=mc.extractor_features,
                                 slim_skip=mc.extractor == "unet_tpu_slim",
-                                enc_convs=1 if mc.extractor == "unet_tpu2"
-                                else 2,
+                                enc_convs=(mc.extractor_enc_convs
+                                           if mc.extractor_enc_convs
+                                           is not None else
+                                           1 if mc.extractor == "unet_tpu2"
+                                           else 2),
                                 s2d=mc.extractor_s2d,
                                 head_impl=mc.extractor_head,
                                 up_impl=mc.extractor_up,

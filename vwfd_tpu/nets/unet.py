@@ -181,8 +181,10 @@ class UNetTPU(nn.Module):
     # cost analysis shows the extractor carries 2× the embed INN's FLOPs and
     # the second encoder conv of each level is ~70% of encoder cost; the
     # decoder already runs single-conv stages. Convergence-validated in
-    # BASELINE.md r3 before becoming anyone's default.
-    enc_convs: int = 2
+    # BASELINE.md r3 before becoming anyone's default. A 5-tuple gives a
+    # per-level plan (enc1..enc4, bottleneck) for finer frontier points,
+    # e.g. (2, 1, 1, 1, 1) keeps the high-res double conv and slims the rest.
+    enc_convs: object = 2
     # Stem/head squeezes as fixed permutation convs (ops/squeeze.py) instead
     # of reshape+transpose — bit-identical, avoids XLA layout copies at the
     # net's highest-resolution tensors (see the r3 embed layout study).
@@ -223,15 +225,17 @@ class UNetTPU(nn.Module):
             x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
                 b, h // s, w // s, s * s * c)
 
-        ec = self.enc_convs
-        enc1 = _DoubleConv(f, dtype=dt, convs=ec, name="enc1")(x, train)
-        enc2 = _DoubleConv(f * 2, dtype=dt, convs=ec, name="enc2")(
+        ec = (tuple(self.enc_convs) if not isinstance(self.enc_convs, int)
+              else (self.enc_convs,) * 5)
+        assert len(ec) == 5, "enc_convs plan is (enc1..enc4, bottleneck)"
+        enc1 = _DoubleConv(f, dtype=dt, convs=ec[0], name="enc1")(x, train)
+        enc2 = _DoubleConv(f * 2, dtype=dt, convs=ec[1], name="enc2")(
             nn.max_pool(enc1, (2, 2), (2, 2)), train)
-        enc3 = _DoubleConv(f * 4, dtype=dt, convs=ec, name="enc3")(
+        enc3 = _DoubleConv(f * 4, dtype=dt, convs=ec[2], name="enc3")(
             nn.max_pool(enc2, (2, 2), (2, 2)), train)
-        enc4 = _DoubleConv(f * 8, dtype=dt, convs=ec, name="enc4")(
+        enc4 = _DoubleConv(f * 8, dtype=dt, convs=ec[3], name="enc4")(
             nn.max_pool(enc3, (2, 2), (2, 2)), train)
-        bott = _DoubleConv(f * 16, dtype=dt, convs=ec, name="bottleneck")(
+        bott = _DoubleConv(f * 16, dtype=dt, convs=ec[4], name="bottleneck")(
             nn.max_pool(enc4, (2, 2), (2, 2)), train)
 
         def up(z, feats, name):
