@@ -55,9 +55,12 @@ def main():
                     help="UNetTPU head lowering: d2s | convt (composed "
                          "transposed conv — same map, no 4-lane packed "
                          "intermediate)")
-    ap.add_argument("--econvs", type=str, default=None,
-                    help="UNetTPU per-level encoder-conv plan, e.g. "
-                         "'2,1,1,1,1' (enc1..enc4, bottleneck)")
+    ap.add_argument("--econvs", type=str, default="2,2,1,1,1",
+                    help="UNetTPU per-level encoder-conv plan (enc1..enc4, "
+                         "bottleneck). Flagship default 2,2,1,1,1: single "
+                         "second conv dropped at the ≤64² levels — "
+                         "convergence-validated (BASELINE.md r3, F1 0.962); "
+                         "'2,2,2,2,2' = the full-quality plan (F1 0.965)")
     ap.add_argument("--eup", type=str, default="convt",
                     help="UNetTPU upsample lowering: convt | gemm (1×1 GEMM "
                          "+ conv-d2s — same params, identical map)")

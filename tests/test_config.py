@@ -33,3 +33,6 @@ def test_video_yaml_matches_bench_flagship():
     # the packed-space executor is the flagship default in both places
     assert cfg.model.inn_packed is True
     assert "--packed" in src and "default=True" in src
+    # per-level encoder-conv plan (BASELINE.md r3): yaml and bench agree
+    assert tuple(cfg.model.extractor_enc_convs) == (2, 2, 1, 1, 1)
+    assert 'default="2,2,1,1,1"' in src
