@@ -81,10 +81,20 @@ def main():
                     help="INN Haar squeeze impl: lift (reshape+add) | conv "
                          "(fixed-weight stride-2 convs — layout-stable, "
                          "see ops/haar.py)")
+    ap.add_argument("--int8-extract", action="store_true",
+                    help="run the extractor through the int8 PTQ path "
+                         "(nets/unet_int8.py): BN-folded, per-channel int8 "
+                         "weights, calibrated activation scales — the MXU's "
+                         "int8 mode is ~2× its bf16 rate (quality gate: "
+                         "tools/exp_int8_eval.py, BASELINE.md r3)")
     ap.add_argument("--train", action="store_true",
                     help="bench the full training step (fwd+attack+bwd+2×AdamW)"
                          " instead of the inference pipeline")
     args = ap.parse_args()
+    if args.int8_extract and (args.tiny or args.extractor != "unet_tpu"
+                              or args.train):
+        ap.error("--int8-extract is the UNetTPU inference PTQ path "
+                 "(not --tiny / --train / other extractors)")
 
     import jax
     # persistent compile cache: repeat bench invocations skip the ~10-min
@@ -157,8 +167,31 @@ def main():
 
     chunk = max(1, args.chunk)
 
+    qp = None
+    if args.int8_extract:
+        # PTQ conversion: calibrate on one attacked batch of this very
+        # traffic, then fold/quantize (nets/unet_int8.py). Conversion cost is
+        # off the clock — it is a deploy-time step, not a serve-time one.
+        from vwfd_tpu.attacks import attack_pool_video as _apv
+        from vwfd_tpu.nets import unet_int8 as q8
+        rng0 = np.random.default_rng(7)
+        v0 = jnp.asarray(rng0.random((batch, frames, size, size, 3),
+                                     np.float32))
+        emb0 = jax.jit(lambda v: model.embed(states, v))(v0)
+        att0 = jnp.clip(_apv(jax.random.PRNGKey(3), emb0, ratios=ratios),
+                        0, 1)
+        gvars = {"params": states["generator"].params,
+                 **states["generator"].variables}
+        plan = (tuple(int(s) for s in args.econvs.split(","))
+                if args.econvs else (2, 2, 1, 1, 1))
+        scales = q8.calibrate(gvars, [att0.reshape(-1, size, size, 3)],
+                              enc_convs=plan, s2d=args.s2d)
+        qp = q8.quantize(gvars, scales, enc_convs=plan)
+        _apply_int8 = q8.apply_int8
+
     @jax.jit
-    def pipeline(netg_params, netg_vars, gen_params, gen_vars, video, key):
+    def pipeline(netg_params, netg_vars, gen_params, gen_vars, video, key,
+                 qparams):
         """`chunk` full embed→attack→extract steps per dispatch. The next
         step's input video carries a dependency on the previous step's
         attacked output so XLA cannot hoist/CSE any stage out of the scan —
@@ -174,7 +207,12 @@ def main():
             fwd = model.embed(s, v)
             attacked = jnp.clip(attack_pool_video(k_atk, fwd, ratios=ratios),
                                 0.0, 1.0)
-            mask = model.predict_mask(s, attacked, train=False)
+            if args.int8_extract:
+                b, t = attacked.shape[0], attacked.shape[1]
+                flat = attacked.reshape(b * t, *attacked.shape[2:])
+                mask = _apply_int8(qparams, flat, s2d=args.s2d)
+            else:
+                mask = model.predict_mask(s, attacked, train=False)
             v_next = jnp.clip(0.9 * video + 0.1 * attacked, 0.0, 1.0)
             return (k, v_next), (jnp.mean(fwd), jnp.mean(mask))
 
@@ -211,14 +249,14 @@ def main():
               jnp.clip(atk, 0, 1))
 
     for _ in range(warmup):
-        out = pipeline(*a, video, key)
+        out = pipeline(*a, video, key, qp if qp is not None else ())
     jax.block_until_ready(out)
     _ = np.asarray(out[0])  # true sync before starting the clock
 
     t0 = time.perf_counter()
     for i in range(steps):
         key = jax.random.fold_in(key, i)
-        out = pipeline(*a, video, key)
+        out = pipeline(*a, video, key, qp if qp is not None else ())
     jax.block_until_ready(out)
     # np.asarray forces a real device→host sync: block_until_ready through
     # the axon tunnel can return before execution completes (measured).

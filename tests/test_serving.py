@@ -59,6 +59,28 @@ def test_detect_shapes_threshold_and_verdict(server, clip):
     assert np.all((frac >= 0) & (frac <= 1))
 
 
+def test_detect_matches_trainer_thresholding(server, clip):
+    """Regression: `predict_mask` returns sigmoid PROBABILITIES (the
+    extractor applies its own sigmoid, reference network/UNet.py:96) — the
+    serving mask must be `probs > threshold` on exactly those values, and
+    the verdict their mean. An earlier revision re-applied sigmoid and
+    thresholded in logit space, flagging every pixel at threshold 0.5."""
+    res = server.serve(clip, "detect")
+    model = VideoWatermarkModel(_cfg())
+    states = model.init_states(jax.random.PRNGKey(0))  # same init seed
+    probs = np.asarray(model.predict_mask(
+        states, jnp.asarray(clip, jnp.float32) / 255.0, train=False),
+        np.float32)
+    expect = (probs > 0.5).astype(np.uint8) * 255
+    # bf16 trunk wobble can flip pixels sitting exactly at the threshold;
+    # random-init probs hover near 0.5, so allow a small disagreement band
+    assert np.mean(res.mask != expect) < 0.02
+    np.testing.assert_allclose(res.tamper_fraction,
+                               probs.mean(axis=(1, 2, 3, 4)), atol=0.02)
+    # and the mask must not be the degenerate all-tampered plane
+    assert res.mask.mean() < 255.0
+
+
 def test_tail_padding_is_exact(server, clip):
     """A padded partial batch returns exactly the full batch's rows —
     per-sample independence of the eval-mode programs."""

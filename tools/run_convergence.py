@@ -51,6 +51,10 @@ def main():
                     help="UNetTPU per-level encoder-conv plan, e.g. "
                          "'2,1,1,1,1' (enc1..enc4, bottleneck)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="save the final train state here (orbax, "
+                         "models/state.py) — feeds the int8 PTQ eval "
+                         "(tools/exp_int8_eval.py) and serving smoke runs")
     args = ap.parse_args()
 
     import jax
@@ -169,6 +173,10 @@ def main():
             print(rec)
         prev = batch.video
     f.close()
+    if args.ckpt_dir:
+        from vwfd_tpu.models.state import save_checkpoint
+        save_checkpoint(args.ckpt_dir, step, states)
+        print("saved checkpoint", args.ckpt_dir, "step", step)
     print("wrote", out_path)
 
 

@@ -129,13 +129,11 @@ class ServeResult:
         return self._arrays.keys()
 
 
-def _sigmoid_mask_u8(logits, threshold):
-    """Per-frame tamper mask as uint8 {0,255} from UNet logits.
-
-    sigmoid(x) > t  ⇔  x > logit(t): compare in logit space so the
-    threshold costs one compare, not a transcendental per pixel."""
-    logit_t = jnp.log(threshold) - jnp.log1p(-threshold)
-    return (logits > logit_t).astype(jnp.uint8) * jnp.uint8(255)
+def _mask_u8(probs, threshold):
+    """Per-frame tamper mask as uint8 {0,255} from the extractor's sigmoid
+    probabilities (`predict_mask` output — the net applies its own sigmoid,
+    the reference's UNet convention, network/UNet.py:96)."""
+    return (probs > threshold).astype(jnp.uint8) * jnp.uint8(255)
 
 
 class WatermarkServer:
@@ -238,18 +236,19 @@ class WatermarkServer:
 
     def _detect_u8(self, params, x_u8):
         video = x_u8.astype(jnp.float32) / 255.0
-        logits = self.model.predict_mask(self._wrap_states(params), video,
-                                         train=False)
-        logits = logits.astype(jnp.float32)
+        # predict_mask returns sigmoid PROBABILITIES (the extractor applies
+        # its own sigmoid — the reference UNet convention, network/UNet.py:96;
+        # the trainer's f1_sweep thresholds the same values)
+        probs = self.model.predict_mask(self._wrap_states(params), video,
+                                        train=False).astype(jnp.float32)
         # clip-level verdict: mean tampered fraction per clip — the serving
         # analog of the reference's per-video F1 bookkeeping
         # (IRNcrop_model.py:581-607) when no GT mask exists at runtime.
-        frac = jnp.mean(jax.nn.sigmoid(logits), axis=(1, 2, 3, 4))
-        logit_t = jnp.log(self.threshold) - jnp.log1p(-self.threshold)
+        frac = jnp.mean(probs, axis=(1, 2, 3, 4))
         if self.size % 8 == 0:
-            return {"mask_bits": _pack_mask_bits(logits > logit_t),
+            return {"mask_bits": _pack_mask_bits(probs > self.threshold),
                     "tamper_fraction": frac}
-        return {"mask": _sigmoid_mask_u8(logits, self.threshold),
+        return {"mask": _mask_u8(probs, self.threshold),
                 "tamper_fraction": frac}
 
     def _roundtrip_u8(self, params, x_u8):
