@@ -106,6 +106,12 @@ def main():
                     help="freeze the compiled program(s) as self-contained "
                          "StableHLO artifacts (<mode>.vwfd) and exit — "
                          "reload anywhere with serving.load_exported")
+    ap.add_argument("--int8", action="store_true",
+                    help="detect/roundtrip through the int8 PTQ extractor "
+                         "(nets/unet_int8.py; F1-neutral on the flagship "
+                         "checkpoint — BASELINE.md r3 quality gate)")
+    ap.add_argument("--int8-margin", type=float, default=1.0,
+                    help="calibration amax head-room multiplier")
     args = ap.parse_args()
 
     import dataclasses
@@ -131,7 +137,9 @@ def main():
     modes = (args.mode,)
     t0 = time.time()
     server = WatermarkServer(cfg, ckpt_dir=args.ckpt, step=args.step,
-                             modes=modes, threshold=args.threshold)
+                             modes=modes, threshold=args.threshold,
+                             int8_extract=args.int8,
+                             int8_margin=args.int8_margin)
     compile_s = time.time() - t0
 
     if args.export_dir:

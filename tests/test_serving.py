@@ -225,3 +225,58 @@ def test_checkpoint_restore_changes_outputs(tmp_path, clip):
 
     with pytest.raises(FileNotFoundError):
         WatermarkServer(cfg, ckpt_dir=str(tmp_path / "nope"))
+
+
+def test_int8_detect_matches_direct_quantized_forward(clip):
+    """`int8_extract=True` routes detect through nets/unet_int8.py: the
+    served mask must equal thresholding apply_int8's probabilities on the
+    server's own qparams — exactly (int8 math is deterministic)."""
+    from vwfd_tpu.nets import unet_int8 as q8
+    from vwfd_tpu.serving import unpack_mask_bits
+
+    srv = WatermarkServer(_cfg(), int8_extract=True)
+    res = srv.serve(clip, "detect")
+
+    flat = jnp.asarray(clip, jnp.float32).reshape(-1, 32, 32, 3) / 255.0
+    probs = np.asarray(q8.apply_int8(srv._params["qext"], flat, s2d=2),
+                       np.float32).reshape(2, 2, 32, 32, 1)
+    expect = (probs > 0.5).astype(np.uint8) * 255
+    np.testing.assert_array_equal(res.mask, expect)
+    np.testing.assert_allclose(res.tamper_fraction,
+                               probs.mean(axis=(1, 2, 3, 4)), atol=1e-5)
+
+
+def test_int8_calib_clips_accepted(clip):
+    """Caller-supplied calibration traffic (ndarray or iterable of uint8
+    clips) drives the activation scales."""
+    srv = WatermarkServer(_cfg(), modes=("detect",), int8_extract=True,
+                          int8_calib=clip)
+    res = srv.serve(clip, "detect")
+    assert res.mask.shape == (2, 2, 32, 32, 1)
+    # margin changes the scales, so qparams must differ
+    srv2 = WatermarkServer(_cfg(), modes=("detect",), int8_extract=True,
+                           int8_calib=[clip], int8_margin=2.0)
+    m1 = np.asarray(srv._params["qext"]["enc"][0][0]["m"])
+    m2 = np.asarray(srv2._params["qext"]["enc"][0][0]["m"])
+    assert not np.allclose(m1, m2)
+
+
+def test_int8_roundtrip_runs_fused(clip):
+    """The fused roundtrip program composes the f32 embed with the int8
+    detect; the detect half must equal serving the embed output."""
+    srv = WatermarkServer(_cfg(), modes=("embed", "detect", "roundtrip"),
+                          int8_extract=True)
+    fused = srv.serve(clip, "roundtrip")
+    wm = srv.serve(clip, "embed").watermarked
+    two = srv.serve(wm, "detect")
+    np.testing.assert_array_equal(fused.watermarked, wm)
+    np.testing.assert_array_equal(fused.mask, two.mask)
+
+
+def test_int8_rejects_unsupported_extractor():
+    cfg = Config(
+        data=DataConfig(gt_size=32, batch_size=2, frames=2),
+        model=ModelConfig(inn_down_num=2, inn_block_num=(1, 1),
+                          inn_subnet="res_tpu2", extractor="unet"))
+    with pytest.raises(ValueError, match="int8_extract"):
+        WatermarkServer(cfg, int8_extract=True)

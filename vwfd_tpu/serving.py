@@ -49,6 +49,17 @@ Quality/throughput points are config-driven: the flagship nets
 (``res_tpu2`` + ``unet_tpu``, F1 0.965) by default, or the validated
 frontier (``extractor_s2d=4`` … 15.4× baseline) for coarse-mask /
 clip-verdict serving — see BASELINE.md.
+
+  * **Int8 PTQ detect** (``int8_extract=True``): the detect/roundtrip
+    programs run the extractor through the int8 inference path
+    (nets/unet_int8.py — BN-folded, per-channel int8 weights, calibrated
+    activation scales, fused requant epilogues). The v5e MXU's int8 mode
+    runs ~2× its bf16 rate; quality is gated by the measured F1 delta on a
+    trained checkpoint (tools/exp_int8_eval.py, BASELINE.md r3).
+    Calibration traffic comes from ``int8_calib`` (uint8 clips shaped like
+    requests — pass real detect traffic in production) or, by default,
+    from self-generated watermarked clips (embed output of random inputs:
+    the roundtrip op's own traffic distribution).
 """
 
 from typing import Dict, Iterable, Iterator, Optional, Tuple
@@ -157,12 +168,24 @@ class WatermarkServer:
     threshold : float
         Mask binarisation threshold (reference protocol thresholds live in
         ``calculate_f1``'s 0.1–0.9 sweep; 0.5 is the serving default).
+    int8_extract : bool
+        Run detect/roundtrip's extractor through the int8 PTQ path
+        (nets/unet_int8.py). Requires ``extractor='unet_tpu'`` (or
+        ``unet_tpu2``) with the default head/upsample lowerings.
+    int8_calib : np.ndarray or iterable of np.ndarray, optional
+        Calibration traffic: uint8 clips shaped ``(n, T, S, S, 3)``. In
+        production pass representative *detect* inputs (watermarked and/or
+        attacked frames). Default: self-generated watermarked clips.
+    int8_margin : float
+        Calibration amax head-room multiplier (see ``unet_int8.calibrate``).
     """
 
     def __init__(self, cfg: Config, ckpt_dir: Optional[str] = None,
                  step: Optional[int] = None,
                  modes: Tuple[str, ...] = ("embed", "detect"),
-                 mesh=None, threshold: float = 0.5):
+                 mesh=None, threshold: float = 0.5,
+                 int8_extract: bool = False, int8_calib=None,
+                 int8_margin: float = 1.0):
         self.cfg = cfg
         self.mesh = mesh
         self.batch = cfg.data.batch_size
@@ -189,6 +212,52 @@ class WatermarkServer:
                           states["generator"].variables),
         }
         self._states_stub = states
+
+        # Int8 PTQ conversion of the extractor (deploy-time, off the serving
+        # clock): fold BN, calibrate activation scales on representative
+        # traffic, quantize. The qparams ride the program ARGUMENTS like the
+        # f32 params — a checkpoint swap re-quantizes without a recompile.
+        self._q8 = None
+        if int8_extract:
+            mc = cfg.model
+            if (mc.extractor not in ("unet_tpu", "unet_tpu2")
+                    or mc.extractor_head != "d2s"
+                    or mc.extractor_up != "convt"):
+                raise ValueError(
+                    "int8_extract supports the UNetTPU extractor with the "
+                    "default head ('d2s') and upsample ('convt') lowerings "
+                    f"(got extractor={mc.extractor!r}, "
+                    f"head={mc.extractor_head!r}, up={mc.extractor_up!r})")
+            from .nets import unet_int8 as q8
+            self._q8 = q8
+            self._q8_s2d = mc.extractor_s2d
+            plan = (mc.extractor_enc_convs
+                    if mc.extractor_enc_convs is not None
+                    else (1 if mc.extractor == "unet_tpu2" else 2))
+            if int8_calib is None:
+                # Self-calibration: watermark random clips with the restored
+                # params — the roundtrip op's own detect-traffic distribution.
+                # Production deployments should pass real traffic instead.
+                rng = np.random.default_rng(0)
+                raw = (rng.random((self.batch, self.frames, self.size,
+                                   self.size, 3)) * 255).astype(np.uint8)
+                out = jax.jit(self._embed_u8)(self._params,
+                                              jnp.asarray(raw))
+                clips = [np.asarray(out["watermarked"])]
+            elif isinstance(int8_calib, np.ndarray):
+                clips = [int8_calib]
+            else:
+                clips = list(int8_calib)
+            batches = [
+                np.asarray(c).astype(np.float32).reshape(
+                    -1, self.size, self.size, 3) / 255.0
+                for c in clips]
+            gvars = {"params": states["generator"].params,
+                     **states["generator"].variables}
+            scales = q8.calibrate(gvars, batches, enc_convs=plan,
+                                  s2d=self._q8_s2d, margin=int8_margin)
+            self._params["qext"] = q8.quantize(gvars, scales,
+                                               enc_convs=plan)
 
         self._in_sharding = None
         if mesh is not None:
@@ -220,7 +289,8 @@ class WatermarkServer:
 
     def _wrap_states(self, params):
         s = dict(self._states_stub)
-        for name, (p, v) in params.items():
+        for name in ("netG", "generator"):
+            p, v = params[name]
             s[name] = s[name].replace(params=p, variables=v)
         return s
 
@@ -238,9 +308,19 @@ class WatermarkServer:
         video = x_u8.astype(jnp.float32) / 255.0
         # predict_mask returns sigmoid PROBABILITIES (the extractor applies
         # its own sigmoid — the reference UNet convention, network/UNet.py:96;
-        # the trainer's f1_sweep thresholds the same values)
-        probs = self.model.predict_mask(self._wrap_states(params), video,
-                                        train=False).astype(jnp.float32)
+        # the trainer's f1_sweep thresholds the same values). The int8 path
+        # (nets/unet_int8.py) yields the same probabilities through the
+        # quantized forward.
+        if self._q8 is not None:
+            b, t = video.shape[:2]
+            flat = video.reshape(b * t, self.size, self.size, 3)
+            probs = self._q8.apply_int8(params["qext"], flat,
+                                        s2d=self._q8_s2d)
+            probs = probs.reshape(b, t, self.size, self.size, 1
+                                  ).astype(jnp.float32)
+        else:
+            probs = self.model.predict_mask(self._wrap_states(params), video,
+                                            train=False).astype(jnp.float32)
         # clip-level verdict: mean tampered fraction per clip — the serving
         # analog of the reference's per-video F1 bookkeeping
         # (IRNcrop_model.py:581-607) when no GT mask exists at runtime.
