@@ -247,6 +247,10 @@ def main():
                     emb, key)
         timed("extract", lambda v: model.predict_mask(states, v, train=False),
               jnp.clip(atk, 0, 1))
+        if qp is not None:
+            flat = jnp.clip(atk, 0, 1).reshape(-1, size, size, 3)
+            timed("extract-int8",
+                  lambda q, v: _apply_int8(q, v, s2d=args.s2d), qp, flat)
 
     for _ in range(warmup):
         out = pipeline(*a, video, key, qp if qp is not None else ())
