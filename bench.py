@@ -87,6 +87,12 @@ def main():
                          "weights, calibrated activation scales — the MXU's "
                          "int8 mode is ~2× its bf16 rate (quality gate: "
                          "tools/exp_int8_eval.py, BASELINE.md r3)")
+    ap.add_argument("--int8-embed", action="store_true",
+                    help="run the embed INN through the int8 PTQ path "
+                         "(nets/inn_int8.py): per-channel int8 weights on "
+                         "the packed executor's learned convs, calibrated "
+                         "activation scales (quality gate: "
+                         "tools/exp_int8_eval.py --int8-embed)")
     ap.add_argument("--train", action="store_true",
                     help="bench the full training step (fwd+attack+bwd+2×AdamW)"
                          " instead of the inference pipeline")
@@ -95,6 +101,11 @@ def main():
                               or args.train):
         ap.error("--int8-extract is the UNetTPU inference PTQ path "
                  "(not --tiny / --train / other extractors)")
+    if args.int8_embed and (args.tiny or args.train
+                            or args.subnet != "res_tpu2" or not args.packed):
+        ap.error("--int8-embed is the packed flagship embed's inference PTQ "
+                 "path (needs --subnet res_tpu2 with --packed, "
+                 "not --tiny / --train)")
 
     import jax
     # persistent compile cache: repeat bench invocations skip the ~10-min
@@ -189,9 +200,34 @@ def main():
         qp = q8.quantize(gvars, scales, enc_convs=plan)
         _apply_int8 = q8.apply_int8
 
+    qe = None
+    if args.int8_embed:
+        # PTQ conversion of the packed embed (nets/inn_int8.py): calibrate
+        # on clean clips — exactly what the embed sees. Deploy-time step,
+        # off the serving clock.
+        from vwfd_tpu.models.video_model import _to_channels, _to_frames
+        from vwfd_tpu.nets import inn_int8 as q8e
+        from vwfd_tpu.ops.quantize import clamp_with_grad, ste_quantize_255
+        rng0 = np.random.default_rng(11)
+        v0 = jnp.asarray(rng0.random((batch, frames, size, size, 3),
+                                     np.float32))
+        xc = np.asarray(jax.jit(
+            lambda v: _to_channels(v).astype(jnp.float32))(v0))
+        e_scales = q8e.calibrate(states["netG"].params, [xc],
+                                 channels=3 * frames)
+        qe = q8e.quantize(states["netG"].params, e_scales,
+                          channels=3 * frames)
+
+        def _embed_int8(qep, v):
+            x = _to_channels(v.astype(jnp.bfloat16))
+            out = q8e.forward_int8(qep, x, channels=3 * frames)
+            return ste_quantize_255(clamp_with_grad(
+                _to_frames(out.astype(jnp.bfloat16),
+                           frames).astype(jnp.float32)))
+
     @jax.jit
     def pipeline(netg_params, netg_vars, gen_params, gen_vars, video, key,
-                 qparams):
+                 qparams, qeparams):
         """`chunk` full embed→attack→extract steps per dispatch. The next
         step's input video carries a dependency on the previous step's
         attacked output so XLA cannot hoist/CSE any stage out of the scan —
@@ -204,7 +240,10 @@ def main():
         def body(carry, _):
             k, v = carry
             k, k_atk = jax.random.split(k)
-            fwd = model.embed(s, v)
+            if args.int8_embed:
+                fwd = _embed_int8(qeparams, v)
+            else:
+                fwd = model.embed(s, v)
             attacked = jnp.clip(attack_pool_video(k_atk, fwd, ratios=ratios),
                                 0.0, 1.0)
             if args.int8_extract:
@@ -251,16 +290,20 @@ def main():
             flat = jnp.clip(atk, 0, 1).reshape(-1, size, size, 3)
             timed("extract-int8",
                   lambda q, v: _apply_int8(q, v, s2d=args.s2d), qp, flat)
+        if qe is not None:
+            timed("embed-int8", _embed_int8, qe, video)
 
     for _ in range(warmup):
-        out = pipeline(*a, video, key, qp if qp is not None else ())
+        out = pipeline(*a, video, key, qp if qp is not None else (),
+                       qe if qe is not None else ())
     jax.block_until_ready(out)
     _ = np.asarray(out[0])  # true sync before starting the clock
 
     t0 = time.perf_counter()
     for i in range(steps):
         key = jax.random.fold_in(key, i)
-        out = pipeline(*a, video, key, qp if qp is not None else ())
+        out = pipeline(*a, video, key, qp if qp is not None else (),
+                       qe if qe is not None else ())
     jax.block_until_ready(out)
     # np.asarray forces a real device→host sync: block_until_ready through
     # the axon tunnel can return before execution completes (measured).

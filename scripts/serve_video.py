@@ -110,6 +110,10 @@ def main():
                     help="detect/roundtrip through the int8 PTQ extractor "
                          "(nets/unet_int8.py; F1-neutral on the flagship "
                          "checkpoint — BASELINE.md r3 quality gate)")
+    ap.add_argument("--int8-embed", action="store_true",
+                    help="embed/roundtrip through the int8 PTQ INN "
+                         "(nets/inn_int8.py; quality gate: "
+                         "tools/exp_int8_eval.py --int8-embed)")
     ap.add_argument("--int8-margin", type=float, default=1.0,
                     help="calibration amax head-room multiplier")
     args = ap.parse_args()
@@ -139,6 +143,7 @@ def main():
     server = WatermarkServer(cfg, ckpt_dir=args.ckpt, step=args.step,
                              modes=modes, threshold=args.threshold,
                              int8_extract=args.int8,
+                             int8_embed=args.int8_embed,
                              int8_margin=args.int8_margin)
     compile_s = time.time() - t0
 

@@ -306,6 +306,50 @@ def test_inn_packed_executor_parity(rng):
                 1.0, float(jnp.abs(mid_mod).max()))
 
 
+def test_inn_int8_ptq(rng):
+    """Int8 PTQ embed (nets/inn_int8.py): the f32 calibration walk matches
+    the packed executor exactly on the same param tree, the quantized tree
+    is int8-weighted, and the int8 forward tracks the f32 packed forward
+    within PTQ error bounds (per-channel weights, calibrated per-tensor
+    activations)."""
+    import jax
+    from vwfd_tpu.nets import InvertibleNet, inn_packed
+    from vwfd_tpu.nets import inn_int8 as q8
+
+    def perturb(path, a):
+        if any(getattr(k, "key", "") == "Conv_2" for k in path):
+            return a + jnp.asarray(0.05 * rng.standard_normal(a.shape),
+                                   np.float32)
+        return a
+
+    x = jnp.asarray(rng.random((2, 16, 16, 12), dtype=np.float32))
+    net = InvertibleNet(channels=12, down_num=3, block_num=(1, 1, 1),
+                        subnet="res_tpu2", fused_st=True, dtype=None)
+    v = net.init(jax.random.PRNGKey(0), x)
+    p = jax.tree_util.tree_map_with_path(perturb, v["params"])
+    y_ref = inn_packed.forward(p, x, channels=12, down_num=3, dtype=None)
+
+    # the calibration walk IS the packed executor (exact, f32)
+    y_col, amax = q8.collect_amax(p, x)
+    scale = max(1.0, float(jnp.abs(y_ref).max()))
+    assert float(jnp.abs(y_col - y_ref).max()) < 1e-4 * scale
+    assert set(amax) == set(p) and all(set(d) == {"st1", "st2"}
+                                       for d in amax.values())
+
+    scales = q8.calibrate(p, [x], channels=12)
+    q = q8.quantize(p, scales, channels=12)
+    for blk in q.values():
+        for st in blk.values():
+            assert st["w0"].dtype == jnp.int8
+            assert st["w2x"].dtype == st["w2h"].dtype == jnp.int8
+
+    # PTQ error envelope (measured ~0.5% mean / 4% max on this family)
+    y_i8 = q8.forward_int8(q, x, channels=12, dtype=None)
+    err = jnp.abs(y_i8 - y_ref)
+    assert float(err.max()) < 0.10 * scale, float(err.max()) / scale
+    assert float(err.mean()) < 0.02 * scale, float(err.mean()) / scale
+
+
 def test_inn_packed_model_wiring(rng):
     """`ModelConfig.inn_packed` routes VideoWatermarkModel.embed through the
     packed executor with unchanged outputs (f32 exercises the exact path)."""

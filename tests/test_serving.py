@@ -280,3 +280,34 @@ def test_int8_rejects_unsupported_extractor():
                           inn_subnet="res_tpu2", extractor="unet"))
     with pytest.raises(ValueError, match="int8_extract"):
         WatermarkServer(cfg, int8_extract=True)
+
+
+def _cfg_packed(batch=2, size=32, frames=2):
+    return Config(
+        data=DataConfig(gt_size=size, batch_size=batch, frames=frames),
+        model=ModelConfig(inn_down_num=2, inn_block_num=(1, 1),
+                          inn_subnet="res_tpu2", extractor="unet_tpu",
+                          extractor_features=8, inn_haar="conv",
+                          inn_packed=True))
+
+
+def test_int8_embed_serving_matches_bf16(clip):
+    """`int8_embed=True` routes embed through nets/inn_int8.py. On the
+    random-init net the PTQ path tracks the bf16 embed to within a couple
+    of 8-bit levels, and the fused roundtrip compiles with the int8 embed
+    inside it."""
+    srv8 = WatermarkServer(_cfg_packed(), modes=("embed", "roundtrip"),
+                           int8_embed=True)
+    srv = WatermarkServer(_cfg_packed(), modes=("embed",))
+    wm8 = srv8.serve(clip, "embed").watermarked
+    wm = srv.serve(clip, "embed").watermarked
+    assert wm8.dtype == np.uint8 and wm8.shape == clip.shape
+    assert np.mean(np.abs(wm8.astype(int) - wm.astype(int))) < 2.0
+    out = srv8.serve(clip, "roundtrip")
+    assert out.watermarked.shape == clip.shape
+    assert out.tamper_fraction.shape == (2,)
+
+
+def test_int8_embed_requires_packed():
+    with pytest.raises(ValueError, match="int8_embed"):
+        WatermarkServer(_cfg(), modes=("embed",), int8_embed=True)

@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--efeatures", type=int, default=64)
     ap.add_argument("--margin", type=float, default=1.0,
                     help="calibration amax head-room multiplier")
+    ap.add_argument("--int8-embed", action="store_true",
+                    help="also gate the int8 PTQ embed (nets/inn_int8.py): "
+                         "embedded-image PSNR vs the bf16 embed, and "
+                         "downstream F1 with the int8-embedded frames "
+                         "through the full attack pipeline")
     args = ap.parse_args()
 
     import jax
@@ -111,6 +116,46 @@ def main():
                           margin=args.margin)
     qp = q8.quantize(gvars, scales, enc_convs=econvs)
 
+    # ---- optional: int8 PTQ embed (nets/inn_int8.py) gated the same way
+    eval_embed = None
+    if args.int8_embed:
+        from vwfd_tpu.models.video_model import _to_channels, _to_frames
+        from vwfd_tpu.nets import inn_int8 as qe
+        from vwfd_tpu.ops.quantize import clamp_with_grad, ste_quantize_255
+
+        gp = states["netG"].params
+        key_e, emb_calib = jax.random.PRNGKey(321), []
+        to_ch = jax.jit(lambda v: _to_channels(v).astype(jnp.float32))
+        for _ in range(args.calib_batches):
+            key_e, kg = jax.random.split(key_e)
+            video, _ = gen(kg)
+            emb_calib.append(np.asarray(to_ch(video)))
+        e_scales = qe.calibrate(gp, emb_calib, channels=3 * t)
+        qemb = qe.quantize(gp, e_scales, channels=3 * t)
+
+        def embed_i8(video):
+            x = _to_channels(video.astype(jnp.bfloat16))
+            fwd = qe.forward_int8(qemb, x, channels=3 * t)
+            return ste_quantize_255(
+                clamp_with_grad(_to_frames(fwd, t).astype(jnp.float32)))
+
+        @jax.jit
+        def eval_embed(k, video, mask, prev):
+            fwd_bf = model.embed(states, video)
+            fwd_i8 = embed_i8(video)
+            spliced = fwd_i8 * (1.0 - mask) + prev * mask
+            att = jnp.clip(attack_pool_video(k, spliced,
+                                             ratios=model.attack_ratios),
+                           0, 1)
+            p_bf = model.predict_mask(states, att, train=False)
+            p_i8 = q8.apply_int8(qp, att.reshape(-1, s, s, 3),
+                                 s2d=args.s2d).reshape(mask.shape)
+            _, f_bf = f1_sweep(p_bf, mask)
+            _, f_i8 = f1_sweep(p_i8, mask)
+            return (psnr255_int(video, fwd_bf), psnr255_int(video, fwd_i8),
+                    psnr255_int(fwd_bf, fwd_i8),
+                    jnp.max(f_bf), jnp.max(f_i8))
+
     @jax.jit
     def eval_both(k, video, mask, prev):
         att, fwd = attacked_flat(k, video, mask, prev)
@@ -122,7 +167,7 @@ def main():
         return (jnp.max(f_bf), jnp.max(f_i8), psnr255_int(video, fwd),
                 jnp.mean(jnp.abs(p_i8 - p_bf.reshape(p_i8.shape))))
 
-    rows = []
+    rows, rows_e = [], []
     prev_v = None
     key = jax.random.PRNGKey(999)
     for i in range(args.eval_batches + 1):
@@ -136,12 +181,28 @@ def main():
         rows.append((f_bf, f_i8, pf, dm))
         print(f"batch {i}: F1 bf16 {f_bf:.4f}  int8 {f_i8:.4f}  "
               f"Δprob {dm:.4f}  PF {pf:.2f}")
+        if eval_embed is not None:
+            pf_bf, pf_i8, pfx, fe_bf, fe_i8 = (
+                float(x) for x in eval_embed(ka, video, mask, prev_v))
+            rows_e.append((pf_bf, pf_i8, pfx, fe_bf, fe_i8))
+            print(f"  embed-int8: PF bf16 {pf_bf:.2f}  int8 {pf_i8:.2f}  "
+                  f"PSNR(i8,bf16) {pfx:.2f}  "
+                  f"F1 e8→x-bf16 {fe_bf:.4f}  e8→x-int8 {fe_i8:.4f}")
         prev_v = video
     arr = np.array(rows)
     print(f"\nmean over {len(rows)} batches: "
           f"F1 bf16 {arr[:,0].mean():.4f}  int8 {arr[:,1].mean():.4f}  "
           f"ΔF1 {arr[:,1].mean()-arr[:,0].mean():+.4f}  "
           f"mean|Δprob| {arr[:,3].mean():.4f}")
+    if rows_e:
+        ae = np.array(rows_e)
+        print(f"embed-int8 mean: PF bf16 {ae[:,0].mean():.2f} dB  "
+              f"int8 {ae[:,1].mean():.2f} dB  "
+              f"ΔPF {ae[:,1].mean()-ae[:,0].mean():+.2f} dB  "
+              f"PSNR(i8 vs bf16 embed) {ae[:,2].mean():.2f} dB  "
+              f"F1 (int8 embed → bf16 extract) {ae[:,3].mean():.4f}  "
+              f"(→ int8 extract) {ae[:,4].mean():.4f}  "
+              f"[bf16-embed F1 baseline {arr[:,0].mean():.4f}]")
 
 
 if __name__ == "__main__":

@@ -172,10 +172,17 @@ class WatermarkServer:
         Run detect/roundtrip's extractor through the int8 PTQ path
         (nets/unet_int8.py). Requires ``extractor='unet_tpu'`` (or
         ``unet_tpu2``) with the default head/upsample lowerings.
+    int8_embed : bool
+        Run embed/roundtrip's INN through the int8 PTQ path
+        (nets/inn_int8.py). Requires the packed flagship embed
+        (``inn_packed=True``). Calibrates on the same ``int8_calib`` clips
+        (embed traffic is the *clean* clip — exactly what the calibration
+        clips are).
     int8_calib : np.ndarray or iterable of np.ndarray, optional
         Calibration traffic: uint8 clips shaped ``(n, T, S, S, 3)``. In
-        production pass representative *detect* inputs (watermarked and/or
-        attacked frames). Default: self-generated watermarked clips.
+        production pass representative inputs (clean clips for embed;
+        watermarked and/or attacked frames for detect). Default:
+        self-generated clips.
     int8_margin : float
         Calibration amax head-room multiplier (see ``unet_int8.calibrate``).
     """
@@ -184,8 +191,8 @@ class WatermarkServer:
                  step: Optional[int] = None,
                  modes: Tuple[str, ...] = ("embed", "detect"),
                  mesh=None, threshold: float = 0.5,
-                 int8_extract: bool = False, int8_calib=None,
-                 int8_margin: float = 1.0):
+                 int8_extract: bool = False, int8_embed: bool = False,
+                 int8_calib=None, int8_margin: float = 1.0):
         self.cfg = cfg
         self.mesh = mesh
         self.batch = cfg.data.batch_size
@@ -213,11 +220,44 @@ class WatermarkServer:
         }
         self._states_stub = states
 
-        # Int8 PTQ conversion of the extractor (deploy-time, off the serving
-        # clock): fold BN, calibrate activation scales on representative
-        # traffic, quantize. The qparams ride the program ARGUMENTS like the
-        # f32 params — a checkpoint swap re-quantizes without a recompile.
+        # Int8 PTQ conversion of the extractor / embed (deploy-time, off the
+        # serving clock): fold BN, calibrate activation scales on
+        # representative traffic, quantize. The qparams ride the program
+        # ARGUMENTS like the f32 params — a checkpoint swap re-quantizes
+        # without a recompile.
         self._q8 = None
+        self._qe8 = None
+        if int8_embed:
+            if not cfg.model.inn_packed:
+                raise ValueError(
+                    "int8_embed requires the packed flagship embed "
+                    "(ModelConfig.inn_packed=True — nets/inn_int8.py "
+                    "quantizes the packed executor's learned convs)")
+            if int8_calib is None:
+                # Self-calibration: embed traffic is the CLEAN clip.
+                rng = np.random.default_rng(0)
+                calib_clips = [(rng.random(
+                    (self.batch, self.frames, self.size, self.size, 3))
+                    * 255).astype(np.uint8)]
+            elif isinstance(int8_calib, np.ndarray):
+                calib_clips = [int8_calib]
+            else:
+                calib_clips = list(int8_calib)
+            from .models.video_model import _to_channels
+            from .nets import inn_int8 as qe8
+            self._qe8 = qe8
+            to_ch = jax.jit(lambda v: _to_channels(v).astype(jnp.float32))
+            batches = [np.asarray(to_ch(jnp.asarray(
+                np.asarray(c).astype(np.float32) / 255.0)))
+                for c in calib_clips]
+            e_scales = qe8.calibrate(states["netG"].params, batches,
+                                     channels=3 * self.frames,
+                                     down_num=cfg.model.inn_down_num,
+                                     margin=int8_margin)
+            self._params["qemb"] = qe8.quantize(states["netG"].params,
+                                                e_scales,
+                                                channels=3 * self.frames,
+                                                down_num=cfg.model.inn_down_num)
         if int8_extract:
             mc = cfg.model
             if (mc.extractor not in ("unet_tpu", "unet_tpu2")
@@ -296,7 +336,20 @@ class WatermarkServer:
 
     def _embed_u8(self, params, x_u8):
         video = x_u8.astype(jnp.float32) / 255.0
-        fwd = self.model.embed(self._wrap_states(params), video)
+        if self._qe8 is not None:
+            from .models.video_model import _to_channels, _to_frames
+            from .ops.quantize import clamp_with_grad, ste_quantize_255
+            dt = self.model.compute_dtype or jnp.float32
+            x = _to_channels(video.astype(dt))
+            out = self._qe8.forward_int8(
+                params["qemb"], x, channels=3 * self.frames,
+                down_num=self.cfg.model.inn_down_num)
+            # bf16 transpose, then f32 quantize — the embed-epilogue layout
+            # order the r3 profile picked (models/video_model.py::embed)
+            fwd = ste_quantize_255(clamp_with_grad(
+                _to_frames(out.astype(dt), self.frames).astype(jnp.float32)))
+        else:
+            fwd = self.model.embed(self._wrap_states(params), video)
         # embed() ends in ste_quantize_255: every value is already k/255 —
         # the uint8 round-trip is exact up to the one 8-bit level of jitter
         # the bf16 trunk itself carries (same rounding the trainer's STE
