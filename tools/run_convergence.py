@@ -51,6 +51,18 @@ def main():
                     help="UNetTPU per-level encoder-conv plan, e.g. "
                          "'2,1,1,1,1' (enc1..enc4, bottleneck)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--bce-finetune-at", type=int, default=0,
+                    help="switch forward_criterion to bce at this step — "
+                         "the reference's actual operating regime is "
+                         "fine-tune-from-pretrained under BCE "
+                         "(IRNcrop_model.py:152-178,378-388); l1-pretrain "
+                         "then bce-finetune reproduces it from scratch. "
+                         "0 = off")
+    ap.add_argument("--libjpeg-batches", type=int, default=4,
+                    help="final real-libjpeg robustness eval: N fresh "
+                         "batches through embed→splice→libjpeg(QF 50/70/90)→"
+                         "extract F1 (JpegTest oracle, noise_layers/"
+                         "jpeg.py:10-45); 0 disables")
     ap.add_argument("--ckpt-dir", default=None,
                     help="save the final train state here (orbax, "
                          "models/state.py) — feeds the int8 PTQ eval "
@@ -148,12 +160,21 @@ def main():
     step = 0
     t0 = time.time()
     gen = batches()
+    import dataclasses
     while step < args.steps:
         video, mask = next(gen)
         batch = VideoBatch(video, mask)
         if prev is None:
             prev = batch.video
             continue
+        if args.bce_finetune_at and step == args.bce_finetune_at:
+            # same states/param trees, new loss closure — the l1→bce handoff
+            cfg_bce = dataclasses.replace(
+                cfg, train=dataclasses.replace(cfg.train,
+                                               forward_criterion="bce"))
+            model = VideoWatermarkModel(cfg_bce)
+            f.write(json.dumps({"step": step, "event": "bce_finetune"})
+                    + "\n")
         key, k = jax.random.split(key)
         states, logs = model.train_step(states, batch, prev, k)
         step += 1
@@ -172,6 +193,22 @@ def main():
             f.flush()
             print(rec)
         prev = batch.video
+    if args.libjpeg_batches > 0:
+        # real-libjpeg robustness: the differentiable-pool F1 above is only
+        # a training-domain proxy; this is the JpegTest-oracle number
+        accs = {}
+        for _ in range(args.libjpeg_batches):
+            video, mask = next(gen)
+            batch = VideoBatch(video, mask)
+            res = model.eval_real_jpeg(states, batch, prev)
+            for kk, v in res.items():
+                accs.setdefault(kk, []).append(v)
+            prev = batch.video
+        rec = {"step": step, "libjpeg_f1": {
+            kk: round(float(np.mean(v)), 4) for kk, v in accs.items()},
+            "batches": args.libjpeg_batches}
+        f.write(json.dumps(rec) + "\n")
+        print(rec)
     f.close()
     if args.ckpt_dir:
         from vwfd_tpu.models.state import save_checkpoint

@@ -67,13 +67,22 @@ def _video_loop(cfg, mesh, args, key, is_main):
     if args.val:
         import jax.numpy as jnp
         acc = []
+        # splice source = the *previous* batch's clean clips, matching both
+        # training and the reference's previous_images ring buffer
+        # (models/IRNcrop_model.py:348,445-450) — using the current batch
+        # would make "tampered" pixels self-referential at eval
+        prev = None
         for i, (video, mask) in enumerate(loader):
-            if i >= args.val_batches:
+            if i >= args.val_batches + 1:
                 break
             batch = VideoBatch(jnp.asarray(video), jnp.asarray(mask))
+            if prev is None:
+                prev = batch.video
+                continue
             key, k = jax.random.split(key)
-            out = model.eval_step(states, batch, batch.video, k)
+            out = model.eval_step(states, batch, prev, k)
             acc.append({k2: float(v) for k2, v in out.items() if v.ndim == 0})
+            prev = batch.video
         logger.info("eval: %s", {k2: float(np.mean([m[k2] for m in acc]))
                                  for k2 in acc[0]})
         return
@@ -228,9 +237,24 @@ def _message_loop(cfg, mesh, args, key, task, is_main):
         from vwfd_tpu.parallel import replicate
         states = replicate(states, mesh)
     ckpt_dir, step, states = _resume_states(cfg, args, task, states, logger)
-    loader = Loader(SyntheticImageDataset(size=dcfg.gt_size, length=2000,
-                                          seed=cfg.train.seed),
-                    dcfg.batch_size, seed=cfg.train.seed,
+    if dcfg.root and not dcfg.synthetic:
+        # real images from data.root, like every other family (the message
+        # models train on COCO crops in their upstreams)
+        from vwfd_tpu.data.images import ImageFolderDataset
+        base = ImageFolderDataset(dcfg.root, size=dcfg.gt_size)
+
+        class _ImgOnly:
+            def __len__(self):
+                return len(base)
+
+            def __getitem__(self, i):
+                item = base[i]
+                return item["image"] if isinstance(item, dict) else item
+        dataset = _ImgOnly()
+    else:
+        dataset = SyntheticImageDataset(size=dcfg.gt_size, length=2000,
+                                        seed=cfg.train.seed)
+    loader = Loader(dataset, dcfg.batch_size, seed=cfg.train.seed,
                     sharding=_loader_sharding(mesh), ratio=dcfg.ratio)
     scalar_logger, _ = _telemetry(cfg, args, is_main)
     steps = args.steps or cfg.train.niter

@@ -13,15 +13,38 @@ pool stays inside the compiled step.
 """
 
 import functools
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, Optional, Union
 
 import jax
 import jax.numpy as jnp
 import optax
 
+from ..attacks import (crop_attack, cropout, dropout_mix, gaussian_noise,
+                       hidden_jpeg_mask_compression)
 from ..metrics import bce_with_logits, l2_loss, bitwise_message_error
 from ..nets import HiddenEncoder, HiddenDecoder, HiddenDiscriminator
 from .state import NetState
+
+
+def combined_noiser(key, encoded, cover):
+    """The HiDDeN training noise pool — encode→noise→decode is the whole
+    point of the recipe (hidden_models/encoder_decoder.py:8-29; the paper's
+    combined-noise model). One member is drawn uniformly per step, matching
+    `Combined`'s random selection (noise_layers/combined.py:15-20):
+    identity / crop(+rescale back, fixed-shape) / cropout / dropout /
+    gaussian noise / JPEG zig-zag mask compression."""
+    k_sel, k = jax.random.split(key)
+    fns = [
+        lambda k, e, c: e,
+        lambda k, e, c: crop_attack(k, e, min_rate=0.55, max_rate=1.0)[0],
+        lambda k, e, c: cropout(k, e, c),
+        lambda k, e, c: dropout_mix(k, e, c),
+        lambda k, e, c: gaussian_noise(k, e),
+        lambda k, e, c: jnp.clip(hidden_jpeg_mask_compression(e), 0.0, 1.0),
+    ]
+    idx = jax.random.randint(k_sel, (), 0, len(fns))
+    return jax.lax.switch(idx, [lambda e, c, f=f: f(k, e, c) for f in fns],
+                          encoded, cover)
 
 
 class HiddenModel:
@@ -31,13 +54,15 @@ class HiddenModel:
                  discriminator_channels=64, discriminator_blocks=3,
                  adversarial_loss_weight=1e-3, encoder_loss_weight=0.7,
                  decoder_loss_weight=1.0, lr=1e-3,
-                 noiser: Optional[Callable] = None):
+                 noiser: Union[str, None, Callable] = "combined"):
         self.message_length = message_length
         self.image_size = image_size
         self.w_adv = adversarial_loss_weight
         self.w_enc = encoder_loss_weight
         self.w_dec = decoder_loss_weight
-        self.noiser = noiser
+        # default = the combined pool; pass noiser=None for a no-noise
+        # (identity) pipeline, or any (key, encoded, cover) -> noised callable
+        self.noiser = combined_noiser if noiser == "combined" else noiser
         self.encoder = HiddenEncoder(message_length, encoder_channels,
                                      encoder_blocks)
         self.decoder = HiddenDecoder(message_length, decoder_channels,

@@ -274,6 +274,36 @@ class VideoWatermarkModel:
             "f1_sweep": f1s,
         }
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def extract_f1(self, states, attacked, mask):
+        """Best-threshold F1 of the extractor on pre-attacked frames —
+        building block for host-side (non-differentiable) attack evals."""
+        pred = self.predict_mask(states, attacked, train=False)
+        _, f1s = f1_sweep(pred, mask)
+        return jnp.max(f1s)
+
+    def eval_real_jpeg(self, states, batch: VideoBatch, prev_images,
+                       qualities=(50, 70, 90)):
+        """Real-libjpeg robustness eval — the reference's `JpegTest`
+        behavioral oracle (noise_layers/jpeg.py:10-45) applied to the full
+        embed → splice-tamper → compress → extract pipeline: the
+        watermarked+tampered frames round-trip through actual libjpeg (PIL,
+        HOST-side) at each QF before localization. Returns
+        {"none": f1, "qf50": f1, ...}. Eval-only (one host round-trip per
+        QF); training keeps the differentiable pool."""
+        from ..attacks.jpeg import jpeg_real
+        video, mask = batch.video, batch.mask
+        fwd = self.embed(states, video)
+        tampered = jnp.clip(fwd * (1.0 - mask) + prev_images * mask, 0.0, 1.0)
+        b, t, h, w, c = tampered.shape
+        frames = np.asarray(tampered.reshape(b * t, h, w, c), np.float32)
+        out = {"none": float(self.extract_f1(states, tampered, mask))}
+        for q in qualities:
+            att = jnp.asarray(
+                jpeg_real(frames, q).reshape(b, t, h, w, c))
+            out[f"qf{q}"] = float(self.extract_f1(states, att, mask))
+        return out
+
     # ------------------------------------------------------------------ loop
 
     def fit(self, loader, steps: int, key=None, states=None, log_every=None,

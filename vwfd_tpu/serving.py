@@ -140,6 +140,20 @@ class ServeResult:
         return self._arrays.keys()
 
 
+def _smooth_synthetic_clips(key, shape):
+    """Bilinear-upsampled coarse noise + per-frame drift — the "natural
+    video"-like synthetic family (tools/run_convergence.py uses the same
+    recipe). Used for int8 self-calibration: smooth content matches natural
+    activation statistics far better than uniform pixel noise."""
+    from .ops.resize import resize_bilinear
+    b, t, s, _, c = shape
+    k1, k2 = jax.random.split(key)
+    coarse = jax.random.uniform(k1, (b, 1, 16, 16, c))
+    drift = 0.05 * jax.random.normal(k2, (b, t, 1, 1, c))
+    video = jnp.clip(resize_bilinear(coarse, (s, s)) + drift, 0.0, 1.0)
+    return jnp.broadcast_to(video, shape)
+
+
 def _mask_u8(probs, threshold):
     """Per-frame tamper mask as uint8 {0,255} from the extractor's sigmoid
     probabilities (`predict_mask` output — the net applies its own sigmoid,
@@ -182,7 +196,11 @@ class WatermarkServer:
         Calibration traffic: uint8 clips shaped ``(n, T, S, S, 3)``. In
         production pass representative inputs (clean clips for embed;
         watermarked and/or attacked frames for detect). Default:
-        self-generated clips.
+        self-generated clips. Shared by both int8 paths — use
+        ``int8_calib_embed`` / ``int8_calib_detect`` to give each its own
+        traffic (clean clips vs watermarked/attacked frames).
+    int8_calib_embed, int8_calib_detect : optional
+        Path-specific calibration clips; each falls back to ``int8_calib``.
     int8_margin : float
         Calibration amax head-room multiplier (see ``unet_int8.calibrate``).
     """
@@ -192,7 +210,8 @@ class WatermarkServer:
                  modes: Tuple[str, ...] = ("embed", "detect"),
                  mesh=None, threshold: float = 0.5,
                  int8_extract: bool = False, int8_embed: bool = False,
-                 int8_calib=None, int8_margin: float = 1.0):
+                 int8_calib=None, int8_calib_embed=None,
+                 int8_calib_detect=None, int8_margin: float = 1.0):
         self.cfg = cfg
         self.mesh = mesh
         self.batch = cfg.data.batch_size
@@ -227,22 +246,40 @@ class WatermarkServer:
         # without a recompile.
         self._q8 = None
         self._qe8 = None
+
+        def _materialize(calib):
+            # one-shot iterables are documented as allowed — materialize once
+            # so int8_embed and int8_extract can both consume the default
+            if calib is None or isinstance(calib, np.ndarray):
+                return calib
+            return list(calib)
+
+        int8_calib = _materialize(int8_calib)
+        calib_embed = (_materialize(int8_calib_embed)
+                       if int8_calib_embed is not None else int8_calib)
+        calib_detect = (_materialize(int8_calib_detect)
+                        if int8_calib_detect is not None else int8_calib)
         if int8_embed:
             if not cfg.model.inn_packed:
                 raise ValueError(
                     "int8_embed requires the packed flagship embed "
                     "(ModelConfig.inn_packed=True — nets/inn_int8.py "
                     "quantizes the packed executor's learned convs)")
-            if int8_calib is None:
-                # Self-calibration: embed traffic is the CLEAN clip.
-                rng = np.random.default_rng(0)
-                calib_clips = [(rng.random(
-                    (self.batch, self.frames, self.size, self.size, 3))
+            if calib_embed is None:
+                # Self-calibration: embed traffic is the CLEAN clip. Use
+                # smooth bilinear-upsampled coarse noise (the synthetic-clip
+                # family of tools/exp_int8_eval.py) — spatially-uncorrelated
+                # uniform noise has very different INN activation statistics
+                # than natural video and would mis-set the scales.
+                calib_clips = [np.asarray(
+                    _smooth_synthetic_clips(
+                        jax.random.PRNGKey(0),
+                        (self.batch, self.frames, self.size, self.size, 3))
                     * 255).astype(np.uint8)]
-            elif isinstance(int8_calib, np.ndarray):
-                calib_clips = [int8_calib]
+            elif isinstance(calib_embed, np.ndarray):
+                calib_clips = [calib_embed]
             else:
-                calib_clips = list(int8_calib)
+                calib_clips = list(calib_embed)
             from .models.video_model import _to_channels
             from .nets import inn_int8 as qe8
             self._qe8 = qe8
@@ -274,20 +311,23 @@ class WatermarkServer:
             plan = (mc.extractor_enc_convs
                     if mc.extractor_enc_convs is not None
                     else (1 if mc.extractor == "unet_tpu2" else 2))
-            if int8_calib is None:
-                # Self-calibration: watermark random clips with the restored
-                # params — the roundtrip op's own detect-traffic distribution.
-                # Production deployments should pass real traffic instead.
-                rng = np.random.default_rng(0)
-                raw = (rng.random((self.batch, self.frames, self.size,
-                                   self.size, 3)) * 255).astype(np.uint8)
+            if calib_detect is None:
+                # Self-calibration: watermark smooth synthetic clips with the
+                # restored params — the roundtrip op's own detect-traffic
+                # distribution. Production deployments should pass real
+                # traffic instead.
+                raw = np.asarray(
+                    _smooth_synthetic_clips(
+                        jax.random.PRNGKey(1),
+                        (self.batch, self.frames, self.size, self.size, 3))
+                    * 255).astype(np.uint8)
                 out = jax.jit(self._embed_u8)(self._params,
                                               jnp.asarray(raw))
                 clips = [np.asarray(out["watermarked"])]
-            elif isinstance(int8_calib, np.ndarray):
-                clips = [int8_calib]
+            elif isinstance(calib_detect, np.ndarray):
+                clips = [calib_detect]
             else:
-                clips = list(int8_calib)
+                clips = list(calib_detect)
             batches = [
                 np.asarray(c).astype(np.float32).reshape(
                     -1, self.size, self.size, 3) / 255.0
@@ -343,7 +383,7 @@ class WatermarkServer:
             x = _to_channels(video.astype(dt))
             out = self._qe8.forward_int8(
                 params["qemb"], x, channels=3 * self.frames,
-                down_num=self.cfg.model.inn_down_num)
+                down_num=self.cfg.model.inn_down_num, dtype=dt)
             # bf16 transpose, then f32 quantize — the embed-epilogue layout
             # order the r3 profile picked (models/video_model.py::embed)
             fwd = ste_quantize_255(clamp_with_grad(
