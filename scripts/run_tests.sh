@@ -1,0 +1,56 @@
+#!/usr/bin/env bash
+# CI-style bounded test partition (VERDICT r3 #5).
+#
+# The full suite (216+ tests) cannot fit one 10-minute window on this 1-core
+# host even with a warm compile cache, so it is partitioned into numbered
+# subsets, each measured to complete well under 10 minutes WARM (i.e. with
+# /tmp/jax_cache_tests populated by a previous run of the same subset; a cold
+# first run of the heavy subsets can take 2-3x longer).
+#
+# Usage:
+#   scripts/run_tests.sh <subset>     # run one bounded subset (1..6)
+#   scripts/run_tests.sh all          # run every subset sequentially
+#   scripts/run_tests.sh smoke        # subsets 1-3 (the fast tier only)
+#
+# Subsets (warm-wall measured on this host, see MEASURED.txt note below):
+#   1  smoke A: ops / metrics / attacks / config / cli / parallel
+#   2  smoke B: nets / video model / serving / convert / int8
+#   3  smoke C: data / zoo / scripts / task models / sunet / pallas /
+#               perceptual / graft / cvtransforms / image model
+#   4  slow, model half A: image+video+task model train/eval steps
+#   5  slow, model half B: watermark models / CLI subprocess / graft /
+#               convert round-trips
+#   6  slow, golden half: golden & parity tests (not slow_models)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+P="python -m pytest -q -p no:cacheprovider"
+
+run_subset() {
+  case "$1" in
+    1) $P -m "not slow" tests/test_ops.py tests/test_metrics.py \
+         tests/test_attacks.py tests/test_config.py tests/test_cli.py \
+         tests/test_parallel.py ;;
+    2) $P -m "not slow" tests/test_nets.py tests/test_nets_extra.py \
+         tests/test_video_model.py tests/test_serving.py \
+         tests/test_convert.py tests/test_unet_int8.py ;;
+    3) $P -m "not slow" tests/test_data.py tests/test_zoo.py \
+         tests/test_scripts.py tests/test_task_models.py \
+         tests/test_sunet_dualup.py tests/test_pallas_coupling.py \
+         tests/test_perceptual_torch.py tests/test_graft_entry.py \
+         tests/test_cvtransforms.py tests/test_image_model.py \
+         tests/test_watermark_models.py ;;
+    4) $P -m "slow and slow_models" tests/test_image_model.py \
+         tests/test_video_model.py tests/test_task_models.py ;;
+    5) $P -m "slow and slow_models" tests/test_watermark_models.py \
+         tests/test_cli.py tests/test_graft_entry.py tests/test_convert.py ;;
+    6) $P -m "slow and not slow_models" tests/ ;;
+    *) echo "unknown subset $1" >&2; exit 2 ;;
+  esac
+}
+
+case "${1:-all}" in
+  all)   for s in 1 2 3 4 5 6; do echo "=== subset $s ==="; run_subset "$s"; done ;;
+  smoke) for s in 1 2 3;       do echo "=== subset $s ==="; run_subset "$s"; done ;;
+  *)     run_subset "$1" ;;
+esac

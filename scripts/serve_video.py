@@ -116,6 +116,11 @@ def main():
                          "tools/exp_int8_eval.py --int8-embed)")
     ap.add_argument("--int8-margin", type=float, default=1.0,
                     help="calibration amax head-room multiplier")
+    ap.add_argument("--latency", type=int, default=0,
+                    help="latency mode: serve N single synchronous requests "
+                         "at the configured batch and report p50/p95/p99 ms "
+                         "per request (the deployment-facing number; "
+                         "throughput mode pipelines and hides latency)")
     args = ap.parse_args()
 
     import dataclasses
@@ -154,6 +159,40 @@ def main():
             server.export_program(m, p)
             print(json.dumps({"exported": p,
                               "bytes": os.path.getsize(p)}))
+        return
+
+    if args.latency:
+        # Per-request wall: upload → compute → download of every output,
+        # fully synchronous (window=1, result materialized before the next
+        # request is issued). This is what a caller waiting on one clip
+        # sees; the throughput path overlaps these stages instead.
+        rng = np.random.default_rng(0)
+        clip = (rng.random((cfg.data.batch_size, cfg.data.frames,
+                            cfg.data.gt_size, cfg.data.gt_size, 3))
+                * 255).astype(np.uint8)
+
+        def block(res):
+            for k in res.keys():
+                np.asarray(getattr(res, "mask" if k == "mask_bits" else k))
+
+        for _ in range(5):  # warmup: compile already done; settle the tunnel
+            block(server.serve(clip, args.mode))
+        times = []
+        for _ in range(args.latency):
+            t = time.perf_counter()
+            block(server.serve(clip, args.mode))
+            times.append((time.perf_counter() - t) * 1e3)
+        times = np.asarray(times)
+        print(json.dumps({
+            "mode": args.mode, "batch": cfg.data.batch_size,
+            "frames": cfg.data.frames, "size": cfg.data.gt_size,
+            "requests": args.latency, "int8": bool(args.int8),
+            "p50_ms": round(float(np.percentile(times, 50)), 2),
+            "p95_ms": round(float(np.percentile(times, 95)), 2),
+            "p99_ms": round(float(np.percentile(times, 99)), 2),
+            "mean_ms": round(float(times.mean()), 2),
+            "compile_s": round(compile_s, 2),
+        }))
         return
 
     if args.synthetic:

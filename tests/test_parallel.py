@@ -72,18 +72,39 @@ def test_cli_telemetry_respects_process0(tmp_path):
 
 
 @pytest.mark.slow
-def test_two_process_cpu_dryrun():
+def test_two_process_cpu_dryrun(tmp_path):
     """REAL 2-process jax.distributed run (VERDICT r2 #5): coordinator +
     2 OS processes x 4 virtual CPU devices, production maybe_init_distributed
     / Loader per-process slicing / put_global assembly / cross-process grad
-    all-reduce; asserts identical finite loss on every process."""
+    all-reduce; asserts identical finite loss on every process. Also
+    round-trips an orbax checkpoint under the multi-process sharding
+    (VERDICT r3 #9): every process saves + restores, shard bit-equality."""
     import subprocess
     import sys
 
     r = subprocess.run(
         [sys.executable, os.path.join(_ROOT, "tools",
                                       "dryrun_multiprocess.py"),
-         "--procs", "2", "--timeout", "1400"],
+         "--procs", "2", "--timeout", "1400",
+         "--ckpt-dir", str(tmp_path / "mpckpt")],
         capture_output=True, text=True, timeout=1500)
     assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
     assert "dryrun_multiprocess ok: 2 processes" in r.stdout
+    assert "orbax save/restore verified" in r.stdout
+
+
+@pytest.mark.slow
+def test_four_process_cpu_dryrun():
+    """4-process depth (VERDICT r3 #9): 4 OS processes x 2 virtual CPU
+    devices forming the same 8-device global mesh — the per-process batch
+    slicing and grad all-reduce must hold at deeper process counts."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(_ROOT, "tools",
+                                      "dryrun_multiprocess.py"),
+         "--procs", "4", "--local-devices", "2", "--timeout", "1400"],
+        capture_output=True, text=True, timeout=1500)
+    assert r.returncode == 0, (r.stdout[-3000:], r.stderr[-3000:])
+    assert "dryrun_multiprocess ok: 4 processes" in r.stdout

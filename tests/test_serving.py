@@ -196,13 +196,22 @@ def test_export_frozen_artifact_roundtrip(tmp_path, server, clip):
                                ref.tamper_fraction, rtol=1e-6)
 
 
-def test_export_rejects_mesh(tmp_path):
+def test_export_from_mesh_server_roundtrip(tmp_path, rng):
+    """A mesh-backed server exports too: params are replicated over the data
+    mesh so they gather losslessly, and the frozen single-device artifact's
+    outputs match the sharded server's (VERDICT r3 #6 — limitation lifted)."""
     from vwfd_tpu.parallel import make_mesh
+    from vwfd_tpu.serving import load_exported
 
-    srv = WatermarkServer(_cfg(batch=4), mesh=make_mesh(4, axes=("data",)),
+    cfg = _cfg(batch=4)
+    clip = (rng.random((4, 2, 32, 32, 3)) * 255).astype(np.uint8)
+    srv = WatermarkServer(cfg, mesh=make_mesh(4, axes=("data",)),
                           modes=("embed",))
-    with pytest.raises(NotImplementedError):
-        srv.export_program("embed", str(tmp_path / "x.vwfd"))
+    path = str(tmp_path / "embed.vwfd")
+    srv.export_program("embed", path, platforms=("cpu",))
+    out = load_exported(path)(clip)
+    np.testing.assert_array_equal(np.asarray(out["watermarked"]),
+                                  srv.serve(clip, "embed").watermarked)
 
 
 def test_checkpoint_restore_changes_outputs(tmp_path, clip):

@@ -91,12 +91,36 @@ def _child():
             break
     assert checked > 0, "no leaf with >1 local replica"
 
+    # Orbax save/restore under multi-process sharding (VERDICT r3 #9): every
+    # process participates in the save (orbax coordinates through the jax
+    # distributed runtime), then restores into the same sharded templates and
+    # checks bit-equality shard by shard.
+    ckpt_dir = os.environ.get("VWFD_DRYRUN_CKPT")
+    if ckpt_dir:
+        from vwfd_tpu.models.state import save_checkpoint, restore_checkpoint
+
+        save_checkpoint(ckpt_dir, 1, new_states)
+        restored = restore_checkpoint(ckpt_dir, 1, new_states)
+        compared = 0
+        for name in new_states:
+            la = jax.tree_util.tree_leaves(new_states[name].params)
+            lb = jax.tree_util.tree_leaves(restored[name].params)
+            assert len(la) == len(lb)
+            for a, b in zip(la, lb):
+                for sa, sb in zip(a.addressable_shards, b.addressable_shards):
+                    assert np.array_equal(np.asarray(sa.data),
+                                          np.asarray(sb.data)), \
+                        f"restored shard differs in {name}"
+                    compared += 1
+        assert compared > 0
+        print(f"ckpt roundtrip ok shards={compared}", flush=True)
+
     print(f"ok process={pid}/{nproc} main={is_main_process()} "
           f"devices={n_dev} loss={loss:.6f} replicas_checked={checked}",
           flush=True)
 
 
-def _driver(procs, local_devices, timeout):
+def _driver(procs, local_devices, timeout, ckpt_dir=None):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -109,6 +133,8 @@ def _driver(procs, local_devices, timeout):
         JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
         JAX_NUM_PROCESSES=str(procs),
     )
+    if ckpt_dir:
+        env_base["VWFD_DRYRUN_CKPT"] = os.path.abspath(ckpt_dir)
     children = []
     for i in range(procs):
         env = dict(env_base, JAX_PROCESS_ID=str(i))
@@ -136,9 +162,14 @@ def _driver(procs, local_devices, timeout):
         ok = [l for l in out.splitlines() if l.startswith("ok process=")]
         assert ok, f"no ok line in:\n{out}"
         losses.add(ok[-1].split("loss=")[1].split()[0])
+        if ckpt_dir:
+            assert any(l.startswith("ckpt roundtrip ok")
+                       for l in out.splitlines()), \
+                f"no ckpt roundtrip line in:\n{out}"
     assert len(losses) == 1, f"loss differs across processes: {losses}"
     print(f"dryrun_multiprocess ok: {procs} processes x {local_devices} "
-          f"devices, loss={losses.pop()} identical on every process")
+          f"devices, loss={losses.pop()} identical on every process"
+          + (", orbax save/restore verified" if ckpt_dir else ""))
 
 
 def main():
@@ -146,12 +177,16 @@ def main():
     ap.add_argument("--procs", type=int, default=2)
     ap.add_argument("--local-devices", type=int, default=4)
     ap.add_argument("--timeout", type=int, default=1500)
+    ap.add_argument("--ckpt-dir", default=None,
+                    help="also round-trip an orbax checkpoint under the "
+                         "multi-process sharding (every process saves + "
+                         "restores; shard-level bit-equality asserted)")
     ap.add_argument("--child", action="store_true")
     args = ap.parse_args()
     if args.child:
         _child()
     else:
-        _driver(args.procs, args.local_devices, args.timeout)
+        _driver(args.procs, args.local_devices, args.timeout, args.ckpt_dir)
 
 
 if __name__ == "__main__":

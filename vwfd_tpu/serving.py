@@ -489,11 +489,18 @@ class WatermarkServer:
         constants, so the file runs with ``load_exported`` on any machine
         with a listed platform — no vwfd_tpu, no model code, no retrace.
         The runtime analog of the reference's ``.pth`` hand-off, minus the
-        python-side model zoo it requires."""
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "export freezes a single-device program; build the server "
-                "without mesh= to export, shard at load time instead")
+        python-side model zoo it requires.
+
+        Works on mesh-backed servers too: serving params are *replicated*
+        over the data mesh, so they gather losslessly to host and the
+        exported program is always single-device — shard request batches at
+        load time if the deployment needs a mesh."""
+        for leaf in jax.tree_util.tree_leaves(self._params):
+            if (hasattr(leaf, "is_fully_replicated")
+                    and not leaf.is_fully_replicated):
+                raise ValueError(
+                    "export requires fully-replicated params (data-parallel "
+                    "serving replicates them); found a sharded leaf")
         fn = {"embed": self._embed_u8, "detect": self._detect_u8,
               "roundtrip": self._roundtrip_u8}[mode]
         shape = (self.batch, self.frames, self.size, self.size, 3)
