@@ -107,3 +107,16 @@ def test_inn_with_pallas_subnet(rng):
     y = inn.apply(v, x)
     back, _ = inn.apply(v, y, rev=True)
     assert np.abs(np.asarray(back) - np.asarray(x)).max() < 0.02
+
+
+@pytest.mark.parametrize("tile", [None, (16, 16)])
+def test_fused_subnet_pipelined_matches_manual(rng, tile):
+    """The Element-BlockSpec pipelined variant (VERDICT r3 #8) is
+    bit-identical to the hand-rolled-DMA kernel — same chain, Mosaic's own
+    pipeline does the halo'd streaming."""
+    ws, bs = _rand_params(rng, 24, 64, 48)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 24)).astype(np.float32))
+    man = np.asarray(fused_res_subnet(x, ws, bs, interpret=True), np.float32)
+    pipe = np.asarray(fused_res_subnet(x, ws, bs, interpret=True,
+                                       pipelined=True, tile=tile), np.float32)
+    np.testing.assert_array_equal(pipe, man)

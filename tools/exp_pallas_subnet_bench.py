@@ -50,12 +50,32 @@ def main():
 
         t_xla = bench(res_subnet_reference)
         t_pls = bench(fused_res_subnet)
+        import functools
+        variants = {"pipe": functools.partial(fused_res_subnet,
+                                              pipelined=True)}
+        for th in (64, 128):
+            if hw >= th:
+                variants[f"pipe{th}"] = functools.partial(
+                    fused_res_subnet, pipelined=True, tile=(th, min(th, hw)))
+        t_var = {}
+        for name, fn in variants.items():
+            try:
+                t_var[name] = bench(fn)
+            except Exception as e:  # Mosaic rejections recorded, not fatal
+                t_var[name] = None
+                print(f"  {name} failed: {str(e).splitlines()[0][:120]}")
         # numeric check on hardware too
         d = float(jnp.max(jnp.abs(
             fused_res_subnet(x, ws, bs).astype(jnp.float32) -
             res_subnet_reference(x, ws, bs).astype(jnp.float32))))
+        dp = float(jnp.max(jnp.abs(
+            fused_res_subnet(x, ws, bs, pipelined=True).astype(jnp.float32) -
+            res_subnet_reference(x, ws, bs).astype(jnp.float32))))
+        extra = "  ".join(f"{n}={t*1e3:7.2f} ms" for n, t in t_var.items()
+                          if t is not None)
         print(f"{label:26s} xla={t_xla*1e3:7.2f} ms  pallas={t_pls*1e3:7.2f} ms"
-              f"  speedup={t_xla/t_pls:5.2f}x  maxdiff={d:.3f}")
+              f"  {extra}  speedup={t_xla/t_pls:5.2f}x  maxdiff={d:.3f}"
+              f"  maxdiff_pipe={dp:.3f}")
 
 
 if __name__ == "__main__":
