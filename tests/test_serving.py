@@ -320,3 +320,23 @@ def test_int8_embed_serving_matches_bf16(clip):
 def test_int8_embed_requires_packed():
     with pytest.raises(ValueError, match="int8_embed"):
         WatermarkServer(_cfg(), modes=("embed",), int8_embed=True)
+
+
+def test_int8_calib_oneshot_iterable_feeds_both_paths(clip):
+    """ADVICE r4 (medium): a one-shot iterable passed as int8_calib must be
+    materialized once so BOTH int8 paths calibrate from it (the embed
+    branch's list() used to exhaust the iterator before the extract
+    branch ran); per-path int8_calib_embed/int8_calib_detect also work."""
+    oneshot = (c for c in [clip])  # generator: consumable exactly once
+    srv = WatermarkServer(_cfg_packed(), modes=("roundtrip",),
+                          int8_extract=True, int8_embed=True,
+                          int8_calib=oneshot)
+    out = srv.serve(clip, "roundtrip")
+    assert out.watermarked.shape == clip.shape
+
+    srv2 = WatermarkServer(_cfg_packed(), modes=("roundtrip",),
+                           int8_extract=True, int8_embed=True,
+                           int8_calib_embed=clip,
+                           int8_calib_detect=(c for c in [clip]))
+    out2 = srv2.serve(clip, "roundtrip")
+    assert out2.tamper_fraction.shape == (2,)
