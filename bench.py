@@ -81,12 +81,16 @@ def main():
                     help="INN Haar squeeze impl: lift (reshape+add) | conv "
                          "(fixed-weight stride-2 convs — layout-stable, "
                          "see ops/haar.py)")
-    ap.add_argument("--int8-extract", action="store_true",
+    ap.add_argument("--int8-extract", action=argparse.BooleanOptionalAction,
+                    default=None,
                     help="run the extractor through the int8 PTQ path "
                          "(nets/unet_int8.py): BN-folded, per-channel int8 "
                          "weights, calibrated activation scales — the MXU's "
-                         "int8 mode is ~2× its bf16 rate (quality gate: "
-                         "tools/exp_int8_eval.py, BASELINE.md r3)")
+                         "int8 mode is ~2× its bf16 rate. DEFAULT ON for the "
+                         "flagship inference pipeline since the 10k-step "
+                         "quality gate measured ΔF1 = -0.0001 "
+                         "(runs/int8_gate_r4_10k.txt, VERDICT r3 #3); "
+                         "--no-int8-extract benches the bf16 extract")
     ap.add_argument("--int8-embed", action="store_true",
                     help="run the embed INN through the int8 PTQ path "
                          "(nets/inn_int8.py): per-channel int8 weights on "
@@ -97,6 +101,12 @@ def main():
                     help="bench the full training step (fwd+attack+bwd+2×AdamW)"
                          " instead of the inference pipeline")
     args = ap.parse_args()
+    if args.int8_extract is None:
+        # promoted default: int8 extract on the flagship inference pipeline
+        # (10k-step gate: ΔF1 -0.0001); training and non-UNetTPU extractors
+        # stay bf16, as does --tiny (CPU smoke)
+        args.int8_extract = (not args.tiny and not args.train
+                             and args.extractor == "unet_tpu")
     if args.int8_extract and (args.tiny or args.extractor != "unet_tpu"
                               or args.train):
         ap.error("--int8-extract is the UNetTPU inference PTQ path "

@@ -32,14 +32,14 @@ run_subset() {
          tests/test_attacks.py tests/test_config.py tests/test_cli.py \
          tests/test_parallel.py ;;
     2) $P -m "not slow" tests/test_nets.py tests/test_nets_extra.py \
-         tests/test_video_model.py tests/test_serving.py \
-         tests/test_convert.py tests/test_unet_int8.py ;;
+         tests/test_video_model.py tests/test_serving.py ;;
     3) $P -m "not slow" tests/test_data.py tests/test_zoo.py \
          tests/test_scripts.py tests/test_task_models.py \
          tests/test_sunet_dualup.py tests/test_pallas_coupling.py \
          tests/test_perceptual_torch.py tests/test_graft_entry.py \
          tests/test_cvtransforms.py tests/test_image_model.py \
-         tests/test_watermark_models.py ;;
+         tests/test_watermark_models.py tests/test_convert.py \
+         tests/test_unet_int8.py ;;
     4) $P -m "slow and slow_models" tests/test_image_model.py \
          tests/test_video_model.py tests/test_task_models.py ;;
     5) $P -m "slow and slow_models" tests/test_watermark_models.py \

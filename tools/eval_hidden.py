@@ -1,0 +1,105 @@
+"""Per-noise-member bitwise-error evaluation of a trained HiDDeN model.
+
+The training log's `bitwise_error` is an instantaneous per-batch value under
+whichever noise member that step drew — hard members (crop, cropout) dominate
+its tail. The deployment-relevant record is the error per member, the way the
+HiDDeN paper tables report the combined-noise model
+(hidden_models/hidden.py:105-107 is the metric; encoder_decoder.py:8-29 the
+pipeline).
+
+Usage:
+    python tools/eval_hidden.py --ckpt-dir checkpoints_hidden --batches 32
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt-dir", default="checkpoints_hidden")
+    ap.add_argument("--step", type=int, default=None)
+    ap.add_argument("--batches", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    import jax.numpy as jnp
+    from vwfd_tpu.attacks import (crop_attack, cropout, dropout_mix,
+                                  gaussian_noise,
+                                  hidden_jpeg_mask_compression)
+    from vwfd_tpu.metrics import bitwise_message_error
+    from vwfd_tpu.models.hidden_model import HiddenModel
+    from vwfd_tpu.models.state import restore_checkpoint, latest_step
+
+    members = {
+        "identity": lambda k, e, c: e,
+        "crop": lambda k, e, c: crop_attack(k, e, min_rate=0.55,
+                                            max_rate=1.0)[0],
+        "cropout": cropout,
+        "dropout": dropout_mix,
+        "gaussian": lambda k, e, c: gaussian_noise(k, e),
+        "jpeg_mask": lambda k, e, c: jnp.clip(
+            hidden_jpeg_mask_compression(e), 0.0, 1.0),
+    }
+
+    model = HiddenModel(image_size=args.size)
+    states = model.init_states(jax.random.PRNGKey(0))
+    step = args.step if args.step is not None else latest_step(args.ckpt_dir)
+    assert step is not None, f"no checkpoint under {args.ckpt_dir}"
+    states = restore_checkpoint(args.ckpt_dir, step, states)
+
+    @jax.jit
+    def encode(imgs, msgs):
+        return model.encoder.apply(
+            {"params": states["encoder"].params,
+             **states["encoder"].variables}, imgs, msgs, train=False)
+
+    @jax.jit
+    def decode(noised):
+        return model.decoder.apply(
+            {"params": states["decoder"].params,
+             **states["decoder"].variables}, noised, train=False)
+
+    attack_jits = {name: jax.jit(fn) for name, fn in members.items()}
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(42)
+    errs = {name: [] for name in members}
+    psnrs = []
+    for _ in range(args.batches):
+        imgs = jnp.asarray(rng.random(
+            (args.batch, args.size, args.size, 3)), jnp.float32)
+        msgs = jnp.asarray(
+            (rng.random((args.batch, model.message_length)) > 0.5)
+            .astype(np.float32))
+        enc = encode(imgs, msgs)
+        d = np.asarray(enc, np.float32) - np.asarray(imgs, np.float32)
+        psnrs.append(-10 * np.log10(np.mean(d * d) + 1e-12))
+        for name, fn in attack_jits.items():
+            key, k = jax.random.split(key)
+            dec = decode(fn(k, enc, imgs))
+            errs[name].append(float(bitwise_message_error(dec, msgs)))
+    rec = {"step": int(step), "batches": args.batches,
+           "encoded_psnr_db": round(float(np.mean(psnrs)), 2),
+           "bitwise_error": {n: round(float(np.mean(v)), 4)
+                             for n, v in errs.items()}}
+    rec["bitwise_error"]["mean"] = round(
+        float(np.mean([np.mean(v) for v in errs.values()])), 4)
+    print(json.dumps(rec))
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+if __name__ == "__main__":
+    main()
