@@ -41,7 +41,7 @@ def main():
                     help="INN coupling subnet: res_tpu2 (half-res MXU-shaped "
                          "trunk, flagship default — parity in BASELINE.md r3) "
                          "| res_tpu (full-res MXU-shaped) | res "
-                         "(reference-exact) | res_pallas (fused kernel)")
+                         "(reference-exact)")
     ap.add_argument("--extractor", type=str, default="unet_tpu",
                     help="tamper-mask extractor: unet_tpu (MXU-shaped "
                          "redesign, flagship default — F1 parity shown in "
@@ -134,9 +134,8 @@ def main():
         size, frames, batch, steps, warmup = 256, 4, args.batch or 32, args.steps or 10, 3
         # Flagship nets: MXU-shaped res_tpu coupling trunk + UNetTPU extractor
         # (BASELINE.md r3 — 2817 fps vs 1941 with the reference-shaped nets).
-        # NB: inn_subnet='res_pallas' (the fused coupling kernel) measured
-        # SLOWER in-context (embed 83.6 vs 35.4 ms — BASELINE.md r2 table);
-        # per-call micro-benches flattered it via dispatch pipelining.
+        # A fused Pallas coupling kernel was measured slower in-context and
+        # retired after the r4 pipeline attempt — see RETIRED.md.
         mc = ModelConfig(inn_subnet=args.subnet, extractor=args.extractor,
                          extractor_s2d=args.s2d,
                          extractor_features=args.efeatures,

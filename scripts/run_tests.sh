@@ -35,7 +35,7 @@ run_subset() {
          tests/test_video_model.py tests/test_serving.py ;;
     3) $P -m "not slow" tests/test_data.py tests/test_zoo.py \
          tests/test_scripts.py tests/test_task_models.py \
-         tests/test_sunet_dualup.py tests/test_pallas_coupling.py \
+         tests/test_sunet_dualup.py \
          tests/test_perceptual_torch.py tests/test_graft_entry.py \
          tests/test_cvtransforms.py tests/test_image_model.py \
          tests/test_watermark_models.py tests/test_convert.py \

@@ -35,8 +35,8 @@ class ModelConfig:
     # Coupling subnet: "res" = reference-exact ResBlock trunk; "dense" =
     # reference DenseBlock; "res_tpu" = MXU-shaped 128-wide trunk; "res_tpu2"
     # = res_tpu computed at half spatial resolution for <256-ch couplings
-    # (bandwidth cut — see nets/inn.py::ResSubnetTPUS2); "res_pallas" = fused
-    # Pallas kernel (A/B tool, slower in-context — BASELINE.md r2).
+    # (bandwidth cut — see nets/inn.py::ResSubnetTPUS2). A fused Pallas
+    # coupling kernel was built, measured and retired — RETIRED.md.
     inn_subnet: str = "res"
     inn_width: int = 0            # coupling trunk width (0 = reference's 64)
     # Haar squeeze implementation inside the INN: "lift" = reshape+add

@@ -169,35 +169,8 @@ class ResSubnetTPUS2(nn.Module):
             b, hh, ww, self.out_channels)
 
 
-class PallasSubnet(nn.Module):
-    """ResSubnet with the fused Pallas TPU kernel as its forward
-    (nets/pallas_coupling.py): identical math and the SAME param tree
-    (Conv_0..Conv_4/{kernel,bias}) so checkpoints interchange with
-    `ResSubnet`. Backward runs the equivalent XLA chain via custom_vjp.
-    On non-TPU backends the kernel runs in interpret mode (tests)."""
-    out_channels: int
-    feature: int = 64
-    dtype: object = None  # accepted for subnet-signature uniformity (bf16 always)
-
-    @nn.compact
-    def __call__(self, x):
-        from .pallas_coupling import pallas_subnet_op
-        init = scaled_glorot(0.1)
-        cin, f = x.shape[-1], self.feature
-        shapes = [(3, 3, cin, f), (3, 3, f, f), (3, 3, f, f), (3, 3, f, f),
-                  (3, 3, cin + f, self.out_channels)]
-        ws, bs = [], []
-        for i, shape in enumerate(shapes):
-            k_init = nn.initializers.zeros if i == 4 else init
-            ws.append(self.param(f"Conv_{i}", lambda *a, **kw: {
-                "kernel": k_init(*a, **kw),
-                "bias": jnp.zeros((shape[-1],), jnp.float32)}, shape))
-        ws, bs = zip(*[(w["kernel"], w["bias"]) for w in ws])
-        return pallas_subnet_op(x.astype(jnp.bfloat16), tuple(ws), tuple(bs))
-
-
 _SUBNETS = {"res": ResSubnet, "dense": DenseSubnet, "res_tpu": ResSubnetTPU,
-            "res_tpu2": ResSubnetTPUS2, "res_pallas": PallasSubnet}
+            "res_tpu2": ResSubnetTPUS2}
 
 
 def _e(s):
@@ -227,12 +200,6 @@ class RNVPCoupling(nn.Module):
         split1 = self.channels // 2
         split2 = self.channels - split1
         subnet = self.subnet
-        if subnet == "res_pallas" and self.channels >= 256:
-            # hybrid: the deepest (widest-channel) couplings keep XLA's conv —
-            # at 768ch/32² the N=768 GEMMs already fill the MXU and the fused
-            # kernel's small-M tiles lose; the param tree is identical either
-            # way so checkpoints are unaffected
-            subnet = "res"
         if subnet == "res_tpu2" and self.channels >= 256:
             # deep couplings keep the full-res trunk: spatial dims are already
             # small and the s2d-packed 1×1 head would 4× its contraction cost
