@@ -72,13 +72,19 @@ def main():
 
     attack_jits = {name: jax.jit(fn) for name, fn in members.items()}
 
+    # Cover images from the SAME distribution the CLI trains on
+    # (SyntheticImageDataset) — uniform pixel noise is out-of-distribution
+    # for the trained encoder/decoder and reads as chance-level error.
+    from vwfd_tpu.data import SyntheticImageDataset
+    ds = SyntheticImageDataset(size=args.size, length=args.batches * args.batch,
+                               seed=123)
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(42)
     errs = {name: [] for name in members}
     psnrs = []
-    for _ in range(args.batches):
-        imgs = jnp.asarray(rng.random(
-            (args.batch, args.size, args.size, 3)), jnp.float32)
+    for bi in range(args.batches):
+        imgs = jnp.asarray(np.stack(
+            [ds[bi * args.batch + j] for j in range(args.batch)]), jnp.float32)
         msgs = jnp.asarray(
             (rng.random((args.batch, model.message_length)) > 0.5)
             .astype(np.float32))
