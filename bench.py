@@ -1,6 +1,16 @@
 """Benchmark harness — frames/sec for embed→attack→extract at 256².
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "config",
+"mfu_bf16", "hbm_bw_util", "flops_per_frame"}.
+
+The estimate-free headline is `mfu_bf16` (VERDICT r4 #3): pipeline FLOPs are
+read from XLA's own cost analysis of the measured program (one scan body,
+lowered+compiled at the bench shapes — no hand math), multiplied by the
+measured frames/s and divided by the v5e bf16 peak (197 TFLOP/s). The
+`vs_baseline` ratio against the ESTIMATED reference GPU fps (BASELINE.md) is
+kept for continuity, but the hardware-anchored claim needs no estimate:
+`mfu_bf16` and `hbm_bw_util` (bytes-accessed/s over the 819 GB/s HBM peak)
+state how close to this chip's own ceilings the pipeline runs.
 
 The pipeline measured is the flagship inference path (the BASELINE.json
 headline): INN watermark embed (12-ch, block_num (1,1,1), MXU-shaped
@@ -22,6 +32,20 @@ import time
 import numpy as np
 
 REFERENCE_GPU_FPS = 250.0  # estimated; see BASELINE.md "reference throughput"
+V5E_BF16_PEAK = 197e12     # TPU v5e (v5 lite) bf16 peak, FLOP/s
+V5E_HBM_BW = 819e9         # TPU v5e HBM bandwidth, bytes/s
+
+
+def _cost_analysis(jitted_lowered):
+    """flops / bytes-accessed from XLA's cost model; NaN-safe."""
+    try:
+        ca = jitted_lowered.compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return (float(ca.get("flops", float("nan"))),
+                float(ca.get("bytes accessed", float("nan"))))
+    except Exception:
+        return float("nan"), float("nan")
 
 
 def main():
@@ -182,7 +206,10 @@ def main():
         print(json.dumps({
             "metric": "train_frames_per_sec_256",
             "value": round(fps, 2), "unit": "frames/s",
-            "vs_baseline": round(fps / REFERENCE_GPU_FPS, 3)}))
+            "vs_baseline": round(fps / REFERENCE_GPU_FPS, 3),
+            "config": {"batch": tb, "frames": frames, "size": size,
+                       "dtype": args.dtype, "subnet": args.subnet,
+                       "extractor": args.extractor, "train": True}}))
         return
 
     chunk = max(1, args.chunk)
@@ -234,6 +261,26 @@ def main():
                 _to_frames(out.astype(jnp.bfloat16),
                            frames).astype(jnp.float32)))
 
+    def _one_iter(s, video, v, k, qparams, qeparams):
+        """One full embed→attack→extract step — the scan body, shared with
+        the MFU cost analysis so the analyzed program IS the measured one."""
+        from vwfd_tpu.attacks import attack_pool_video
+        k, k_atk = jax.random.split(k)
+        if args.int8_embed:
+            fwd = _embed_int8(qeparams, v)
+        else:
+            fwd = model.embed(s, v)
+        attacked = jnp.clip(attack_pool_video(k_atk, fwd, ratios=ratios),
+                            0.0, 1.0)
+        if args.int8_extract:
+            b, t = attacked.shape[0], attacked.shape[1]
+            flat = attacked.reshape(b * t, *attacked.shape[2:])
+            mask = _apply_int8(qparams, flat, s2d=args.s2d)
+        else:
+            mask = model.predict_mask(s, attacked, train=False)
+        v_next = jnp.clip(0.9 * video + 0.1 * attacked, 0.0, 1.0)
+        return (k, v_next), (jnp.mean(fwd), jnp.mean(mask))
+
     @jax.jit
     def pipeline(netg_params, netg_vars, gen_params, gen_vars, video, key,
                  qparams, qeparams):
@@ -248,21 +295,7 @@ def main():
 
         def body(carry, _):
             k, v = carry
-            k, k_atk = jax.random.split(k)
-            if args.int8_embed:
-                fwd = _embed_int8(qeparams, v)
-            else:
-                fwd = model.embed(s, v)
-            attacked = jnp.clip(attack_pool_video(k_atk, fwd, ratios=ratios),
-                                0.0, 1.0)
-            if args.int8_extract:
-                b, t = attacked.shape[0], attacked.shape[1]
-                flat = attacked.reshape(b * t, *attacked.shape[2:])
-                mask = _apply_int8(qparams, flat, s2d=args.s2d)
-            else:
-                mask = model.predict_mask(s, attacked, train=False)
-            v_next = jnp.clip(0.9 * video + 0.1 * attacked, 0.0, 1.0)
-            return (k, v_next), (jnp.mean(fwd), jnp.mean(mask))
+            return _one_iter(s, video, v, k, qparams, qeparams)
 
         (_, _), outs = jax.lax.scan(body, (key, video), None, length=chunk)
         return outs
@@ -320,13 +353,49 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = steps * chunk * batch * frames / dt
-    print(json.dumps({
+
+    # ---- estimate-free utilization (VERDICT r4 #3): XLA cost analysis of
+    # ONE scan-body iteration at the measured shapes. The analyzed program is
+    # the same _one_iter the timed scan runs; flops include the int8 extract
+    # GEMMs when enabled (counted as ops — mfu_bf16 stays normalized by the
+    # bf16 peak, the conservative convention).
+    @jax.jit
+    def _iter_for_cost(netg_params, netg_vars, gen_params, gen_vars, video,
+                       v, k, qparams, qeparams):
+        s = {"netG": states["netG"].replace(params=netg_params,
+                                            variables=netg_vars),
+             "generator": states["generator"].replace(params=gen_params,
+                                                      variables=gen_vars)}
+        return _one_iter(s, video, v, k, qparams, qeparams)
+
+    flops_it, bytes_it = _cost_analysis(_iter_for_cost.lower(
+        *a, video, video, key, qp if qp is not None else (),
+        qe if qe is not None else ()))
+    frames_it = batch * frames
+    flops_per_frame = flops_it / frames_it
+    mfu = fps * flops_per_frame / V5E_BF16_PEAK
+    hbm = fps * (bytes_it / frames_it) / V5E_HBM_BW
+
+    rec = {
         "metric": "frames_per_sec_embed_attack_extract_256" if not args.tiny
                   else "frames_per_sec_tiny_smoke",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / REFERENCE_GPU_FPS, 3),
-    }))
+        "config": {
+            "batch": batch, "frames": frames, "size": size, "chunk": chunk,
+            "dtype": args.dtype, "subnet": args.subnet,
+            "extractor": args.extractor, "econvs": args.econvs,
+            "s2d": args.s2d, "packed": bool(args.packed),
+            "haar": args.haar, "int8_extract": bool(args.int8_extract),
+            "int8_embed": bool(args.int8_embed),
+        },
+    }
+    if np.isfinite(mfu):
+        rec["flops_per_frame"] = round(flops_per_frame / 1e9, 3)  # GFLOP
+        rec["mfu_bf16"] = round(mfu, 4)
+        rec["hbm_bw_util"] = round(hbm, 4)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
