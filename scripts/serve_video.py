@@ -116,6 +116,14 @@ def main():
                          "tools/exp_int8_eval.py --int8-embed)")
     ap.add_argument("--int8-margin", type=float, default=1.0,
                     help="calibration amax head-room multiplier")
+    ap.add_argument("--stream", type=int, default=0,
+                    help="sustained streaming-throughput mode: push N "
+                         "request batches through serve_stream at in-flight "
+                         "windows 1/2/4 (same compiled program) and report "
+                         "clips/s + frames/s per window — measures whether "
+                         "the double-buffering actually overlaps host "
+                         "transfer with compute (window 1 = fully "
+                         "synchronous baseline)")
     ap.add_argument("--latency", type=int, default=0,
                     help="latency mode: serve N single synchronous requests "
                          "at the configured batch and report p50/p95/p99 ms "
@@ -159,6 +167,43 @@ def main():
             server.export_program(m, p)
             print(json.dumps({"exported": p,
                               "bytes": os.path.getsize(p)}))
+        return
+
+    if args.stream:
+        # Sustained streaming throughput (VERDICT r4 #7): N fresh uint8
+        # request batches per window setting, results fully materialized on
+        # host (delivered results, not dispatches). Window 1 serializes
+        # upload→compute→download; larger windows let serve_stream overlap
+        # them — the measured gap IS the double-buffering win.
+        rng = np.random.default_rng(0)
+        b, t, s = cfg.data.batch_size, cfg.data.frames, cfg.data.gt_size
+        clips = [(rng.random((b, t, s, s, 3)) * 255).astype(np.uint8)
+                 for _ in range(min(args.stream, 8))]
+
+        def reqs():
+            for i in range(args.stream):
+                yield clips[i % len(clips)]
+
+        def block(res):
+            for k in res.keys():
+                np.asarray(getattr(res, "mask" if k == "mask_bits" else k))
+
+        for res in server.serve_stream(iter(clips), args.mode, window=2):
+            block(res)  # warmup: compile + settle the tunnel
+        for window in (1, 2, 4):
+            t0 = time.perf_counter()
+            n = 0
+            for res in server.serve_stream(reqs(), args.mode, window=window):
+                block(res)
+                n += res.n
+            wall = time.perf_counter() - t0
+            print(json.dumps({
+                "mode": args.mode, "window": window, "requests": args.stream,
+                "clips": n, "batch": b, "frames": t, "size": s,
+                "int8": bool(args.int8), "wall_s": round(wall, 3),
+                "clips_per_s": round(n / wall, 2),
+                "frames_per_s": round(n * t / wall, 1),
+            }))
         return
 
     if args.latency:

@@ -111,6 +111,20 @@ def test_stream_preserves_order_and_counts(server, rng):
     np.testing.assert_array_equal(outs[1].mask, solo.mask)
 
 
+def test_stream_window4_matches_window1(server, rng):
+    """A deep in-flight window (the throughput setting serve_video.py
+    --stream measures) changes scheduling only: per-request results are
+    identical to the fully synchronous window=1 path, in submission order."""
+    clips = [(rng.random((2, 2, 32, 32, 3)) * 255).astype(np.uint8)
+             for _ in range(6)]
+    deep = list(server.serve_stream(iter(clips), "detect", window=4))
+    sync = list(server.serve_stream(iter(clips), "detect", window=1))
+    assert [o.n for o in deep] == [o.n for o in sync] == [2] * 6
+    for d, s in zip(deep, sync):
+        np.testing.assert_array_equal(d.mask, s.mask)
+        np.testing.assert_array_equal(d.tamper_fraction, s.tamper_fraction)
+
+
 def test_mask_bits_wire_format(server, clip):
     """The detect wire carries 1 bit/pixel (8× fewer device→host bytes);
     ServeResult.mask unpacks to the same uint8 {0,255} interface."""

@@ -46,6 +46,12 @@ def main():
         "crop": lambda k, e, c: crop_attack(k, e, min_rate=0.55,
                                             max_rate=1.0)[0],
         "cropout": cropout,
+        # paper-geometry variant (VERDICT r4 #2a): the HiDDeN tables'
+        # Cropout operates at p = 0.30 of the AREA kept from the encoded
+        # image (arXiv 1807.09937 §5); the repo default keeps 0.5×0.5 = 25%.
+        # side ratio sqrt(0.30) ≈ 0.548 per axis.
+        "cropout_paper_p30": lambda k, e, c: cropout(
+            k, e, c, height_ratio=0.5477, width_ratio=0.5477),
         "dropout": dropout_mix,
         "gaussian": lambda k, e, c: gaussian_noise(k, e),
         "jpeg_mask": lambda k, e, c: jnp.clip(

@@ -415,6 +415,13 @@ def main():
     ap.add_argument("--val", action="store_true", help="run evaluation")
     ap.add_argument("--val-batches", type=int, default=10)
     ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--root", type=str, default=None,
+                    help="override data.root (e.g. a DAVIS tree with "
+                         "JPEGImages/480p + Annotations/480p — "
+                         "data/Dataloader.py:59-99; or an image folder for "
+                         "the image families)")
+    ap.add_argument("--mask-root", type=str, default=None,
+                    help="override data.mask_root (tianchi forgery masks)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--logdir", type=str, default=None,
                     help="scalar/TensorBoard dir (default runs/<name>_<task>)")
@@ -442,6 +449,13 @@ def main():
     if args.synthetic:
         cfg = dataclasses.replace(
             cfg, data=dataclasses.replace(cfg.data, synthetic=True))
+    if args.root:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, root=args.root,
+                                          synthetic=False))
+    if args.mask_root:
+        cfg = dataclasses.replace(
+            cfg, data=dataclasses.replace(cfg.data, mask_root=args.mask_root))
 
     n_dev = len(jax.devices())
     mesh = make_mesh(n_dev) if n_dev > 1 else None

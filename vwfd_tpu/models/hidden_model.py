@@ -26,25 +26,47 @@ from ..nets import HiddenEncoder, HiddenDecoder, HiddenDiscriminator
 from .state import NetState
 
 
-def combined_noiser(key, encoded, cover):
-    """The HiDDeN training noise pool — encode→noise→decode is the whole
-    point of the recipe (hidden_models/encoder_decoder.py:8-29; the paper's
-    combined-noise model). One member is drawn uniformly per step, matching
-    `Combined`'s random selection (noise_layers/combined.py:15-20):
-    identity / crop(+rescale back, fixed-shape) / cropout / dropout /
-    gaussian noise / JPEG zig-zag mask compression."""
-    k_sel, k = jax.random.split(key)
-    fns = [
-        lambda k, e, c: e,
-        lambda k, e, c: crop_attack(k, e, min_rate=0.55, max_rate=1.0)[0],
-        lambda k, e, c: cropout(k, e, c),
-        lambda k, e, c: dropout_mix(k, e, c),
-        lambda k, e, c: gaussian_noise(k, e),
-        lambda k, e, c: jnp.clip(hidden_jpeg_mask_compression(e), 0.0, 1.0),
-    ]
-    idx = jax.random.randint(k_sel, (), 0, len(fns))
-    return jax.lax.switch(idx, [lambda e, c, f=f: f(k, e, c) for f in fns],
-                          encoded, cover)
+# The HiDDeN training noise pool — encode→noise→decode is the whole point of
+# the recipe (hidden_models/encoder_decoder.py:8-29; the paper's combined-
+# noise model): identity / crop(+rescale back, fixed-shape) / cropout /
+# dropout / gaussian noise / JPEG zig-zag mask compression.
+NOISE_POOL = (
+    ("identity", lambda k, e, c: e),
+    ("crop", lambda k, e, c: crop_attack(k, e, min_rate=0.55,
+                                         max_rate=1.0)[0]),
+    ("cropout", lambda k, e, c: cropout(k, e, c)),
+    ("dropout", lambda k, e, c: dropout_mix(k, e, c)),
+    ("gaussian", lambda k, e, c: gaussian_noise(k, e)),
+    ("jpeg_mask", lambda k, e, c: jnp.clip(
+        hidden_jpeg_mask_compression(e), 0.0, 1.0)),
+)
+
+
+def make_combined_noiser(weights=None):
+    """Combined noiser drawing one pool member per step. `weights` (len-6,
+    any positive scale) biases the draw — hard-member oversampling for the
+    crop/cropout tail (uniform = the reference `Combined` selection,
+    noise_layers/combined.py:15-20)."""
+    fns = [f for _, f in NOISE_POOL]
+    p = None
+    if weights is not None:
+        w = jnp.asarray(weights, jnp.float32)
+        p = w / jnp.sum(w)
+
+    def noiser(key, encoded, cover):
+        k_sel, k = jax.random.split(key)
+        if p is None:
+            idx = jax.random.randint(k_sel, (), 0, len(fns))
+        else:
+            idx = jax.random.choice(k_sel, len(fns), p=p)
+        return jax.lax.switch(idx,
+                              [lambda e, c, f=f: f(k, e, c) for f in fns],
+                              encoded, cover)
+
+    return noiser
+
+
+combined_noiser = make_combined_noiser()
 
 
 class HiddenModel:
