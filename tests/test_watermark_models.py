@@ -34,6 +34,41 @@ def test_hidden_train_step(rng):
                for a, b in zip(before, after))
 
 
+def test_weighted_noiser_biases_draws(rng):
+    """make_combined_noiser(weights) draws hard members more often; a
+    one-hot weight vector pins the draw (the oversampling mechanism of
+    tools/continue_hidden.py)."""
+    from vwfd_tpu.models.hidden_model import NOISE_POOL, make_combined_noiser
+
+    assert [n for n, _ in NOISE_POOL] == [
+        "identity", "crop", "cropout", "dropout", "gaussian", "jpeg_mask"]
+    enc = jnp.asarray(rng.random((1, 32, 32, 3), dtype=np.float32))
+    cover = jnp.zeros_like(enc)
+    only_identity = jax.jit(make_combined_noiser([1, 0, 0, 0, 0, 0]))
+    for i in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(only_identity(jax.random.PRNGKey(i), enc, cover)),
+            np.asarray(enc))
+    # cropout-only: output is enc inside one rect, cover (zeros) outside
+    only_cropout = jax.jit(make_combined_noiser([0, 0, 1, 0, 0, 0]))
+    out = np.asarray(only_cropout(jax.random.PRNGKey(3), enc, cover))
+    kept = (out != 0).any(-1).mean()
+    assert 0.15 < kept < 0.35  # 0.5×0.5 rect of the area
+
+
+def test_cropout_area_ratio_override(rng):
+    """cropout's height/width ratios set the kept-area share — the
+    paper-geometry eval point (p=0.30) uses ratio sqrt(0.30) per axis."""
+    from vwfd_tpu.attacks.spatial import cropout
+
+    enc = jnp.ones((1, 64, 64, 3))
+    cover = jnp.zeros_like(enc)
+    out = np.asarray(cropout(jax.random.PRNGKey(0), enc, cover,
+                             height_ratio=0.5477, width_ratio=0.5477))
+    kept = out.mean()
+    assert abs(kept - 0.30) < 0.03
+
+
 def test_hidden_infer_with_noise(rng):
     from vwfd_tpu.attacks import gaussian_noise
 
