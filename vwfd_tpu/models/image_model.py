@@ -32,7 +32,7 @@ from ..attacks.spatial import (
 )
 from ..config import Config
 from ..metrics import (
-    l1_loss, psnr255_int, ssim, perceptual_loss, f1_sweep,
+    bce_loss, l1_loss, psnr255_int, ssim, perceptual_loss, f1_sweep,
 )
 from ..nets import InvertibleNet, UNetDiscriminator, QFPredictor
 from ..ops.canny import canny_soft
@@ -298,7 +298,18 @@ class ImageImmunizationModel:
                 params["localizer"], flat)
         pred_mask = pred_mask[0] if isinstance(pred_mask, tuple) else pred_mask
         gt_mask_exp = jnp.tile(mask, (k, 1, 1, 1))
-        l_mask = l1_loss(pred_mask, gt_mask_exp)
+        # Localizer criterion: BCE for the stroke-mask tasks — the
+        # reference's `CE = self.bce_loss(gen_fake, masks_GT_expand)`
+        # (IRNp_model.py:820-833). Plain L1 here has a degenerate minimum at
+        # the all-zero mask once the stroke coverage is ~10% (measured:
+        # eval F1 collapsed 0.43 → 0.005 by step 1750 of the r5 512² PAMI
+        # run under L1 — runs/conv_r5_pami512_l1mask.jsonl). CLR keeps L1:
+        # its crop-rect masks are large and the reference scores its
+        # crop-mask head with SmoothL1 (IRNclr_model.py:585).
+        if self.task == "clr":
+            l_mask = l1_loss(pred_mask, gt_mask_exp)
+        else:
+            l_mask = bce_loss(pred_mask, gt_mask_exp)
 
         # ---- optional apex regression on the attacked copies (CLR,
         # IRNclr_model.py:570-617): the regressor trains on the detached
