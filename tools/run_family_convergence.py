@@ -223,6 +223,10 @@ def _kdjpeg(args, cfg, key, out):
             correct += int((pred == ci).sum())
             total += pred.size
             rec[f"psnr_sim_q{q}"] = psnr_cond[-1]
+            # per-QF no-simulation baseline: PSNR(clean, real-JPEG) — at high
+            # QF libjpeg barely changes the image, so "beats identity" is
+            # only a meaningful bar where this number is low (low QF)
+            rec[f"psnr_identity_q{q}"] = psnr_ident[-1]
         # clean class (0) accuracy
         pred0 = np.asarray(_classify(states["localizer"].params,
                                      states["localizer"].variables,

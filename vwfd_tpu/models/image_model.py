@@ -298,18 +298,17 @@ class ImageImmunizationModel:
                 params["localizer"], flat)
         pred_mask = pred_mask[0] if isinstance(pred_mask, tuple) else pred_mask
         gt_mask_exp = jnp.tile(mask, (k, 1, 1, 1))
-        # Localizer criterion: BCE for the stroke-mask tasks — the
-        # reference's `CE = self.bce_loss(gen_fake, masks_GT_expand)`
+        # Localizer criterion: BCE — the reference's
+        # `CE = self.bce_loss(gen_fake, masks_GT_expand)`
         # (IRNp_model.py:820-833). Plain L1 here has a degenerate minimum at
-        # the all-zero mask once the stroke coverage is ~10% (measured:
-        # eval F1 collapsed 0.43 → 0.005 by step 1750 of the r5 512² PAMI
-        # run under L1 — runs/conv_r5_pami512_l1mask.jsonl). CLR keeps L1:
-        # its crop-rect masks are large and the reference scores its
-        # crop-mask head with SmoothL1 (IRNclr_model.py:585).
-        if self.task == "clr":
-            l_mask = l1_loss(pred_mask, gt_mask_exp)
-        else:
-            l_mask = bce_loss(pred_mask, gt_mask_exp)
+        # the (near-)empty mask: measured on the r5 512² runs, held-out F1
+        # collapsed 0.43 → 0.005 by step 1750 for PAMI and 0.44 → 0.16 by
+        # step 1000 for CLR under L1 (runs/conv_r5_pami512_l1mask.jsonl).
+        # Note the reference's CLR never trains THIS head at all (its
+        # localizer appears only in eval, IRNclr_model.py:901); its trained
+        # crop-mask output is the apex-net's, scored with SmoothL1 (:585) —
+        # that term is preserved reference-exact in l_apex below.
+        l_mask = bce_loss(pred_mask, gt_mask_exp)
 
         # ---- optional apex regression on the attacked copies (CLR,
         # IRNclr_model.py:570-617): the regressor trains on the detached
