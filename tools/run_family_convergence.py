@@ -170,7 +170,6 @@ def _image_family(args, cfg, key, out):
 def _kdjpeg(args, cfg, key, out):
     import jax
     import jax.numpy as jnp
-    from vwfd_tpu.attacks.jpeg import jpeg_real
     from vwfd_tpu.data import Loader
     from vwfd_tpu.data.jpeg_data import LQJpegDataset
     from vwfd_tpu.data.synthetic import SyntheticImageDataset
@@ -188,11 +187,15 @@ def _kdjpeg(args, cfg, key, out):
     states = model.init_states(k0)
     step0, states = _maybe_resume(args, states)
 
-    # held-out eval set: clean images + real-libjpeg versions per class
+    # held-out eval set: clean images + real-libjpeg versions per class,
+    # compressed by the SAME dataset encoder the training batches use
+    # (PIL-default 4:2:0 chroma subsampling — `jpeg_real`'s 4:4:4 is a
+    # different artifact distribution and read as chance-level classifier
+    # accuracy in the first r5 run)
     held = SyntheticImageDataset(size=args.size, length=args.eval_batch or 8,
                                  seed=cfg.train.seed + 7777)
     clean = np.stack([held[i] for i in range(len(held))])  # (E,H,W,3)
-    real = {q: jpeg_real(clean, q) for q in qualities}
+    real = {q: np.stack([ds._jpeg(c, q) for c in clean]) for q in qualities}
 
     @jax.jit
     def _classify(params, variables, x):

@@ -149,7 +149,16 @@ class KDJpegModel:
             l_simul = l1_loss(simulated, real_jpeg)
             bayar_sim, qf_sim = self.localizer.apply(
                 {"params": new_loc.params, **new_loc.variables}, simulated)
-            l_bayar = l1_loss(bayar_sim, bayar_ori)
+            # Scale-normalized Bayar feature matching. The reference's raw
+            # 5·L1(bayar(sim), bayar(real)) (IRNrhi_model.py:464-530) assumes
+            # the classifier's feature scale stays bounded by slow real-data
+            # training; on the synthetic family the QF classifier overfits in
+            # ~500 steps and its feature magnitudes inflate ~50× (measured
+            # l_simul_bayar 2.6 → 116 in the r5 run), swamping the pixel
+            # loss. Dividing by the detached target magnitude keeps the
+            # term's RELATIVE matching objective with a stable weight.
+            l_bayar = l1_loss(bayar_sim, bayar_ori) / (
+                1e-3 + jax.lax.stop_gradient(jnp.mean(jnp.abs(bayar_ori))))
             l_qf_sim = _ce(qf_sim, labels)
             g_fake = self.discriminator.apply(
                 {"params": new_disc.params, **new_disc.variables}, simulated)
