@@ -282,12 +282,20 @@ def _tianchi(args, cfg, key, out):
                                      seed=seed)
 
         class _Img:
+            """Composed splice forgeries: donor content pasted through the
+            mask (the reference's tianchi data are forged images + their
+            masks, tianchi_dataset.py:16-77). A raw (image, independent
+            mask) pair is label noise — the net can only find the mask if
+            the FORGERY is in the pixels."""
+
             def __len__(self):
                 return len(base)
 
             def __getitem__(self, i):
                 video, mask = base[i]
-                return video[0], mask[0]
+                donor, _ = base[(i * 7919 + 1) % len(base)]
+                img = video[0] * (1 - mask[0]) + donor[0] * mask[0]
+                return img.astype(np.float32), mask[0]
         return _Img()
 
     loader = Loader(img_ds(cfg.train.seed, 2000), args.batch,

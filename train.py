@@ -363,12 +363,19 @@ def _tianchi_loop(cfg, mesh, args, key, is_main):
                                      seed=cfg.train.seed)
 
         class _Img:
+            """Composed splice forgeries (donor pasted through the mask) —
+            the reference's tianchi data are forged images + masks
+            (tianchi_dataset.py:16-77); an image with an independent mask
+            is unlearnable label noise."""
+
             def __len__(self):
                 return len(base)
 
             def __getitem__(self, i):
                 video, mask = base[i]
-                return {"image": video[0], "mask": mask[0]}
+                donor, _ = base[(i * 7919 + 1) % len(base)]
+                img = video[0] * (1 - mask[0]) + donor[0] * mask[0]
+                return {"image": img.astype(np.float32), "mask": mask[0]}
         ds = _Img()
 
         def batches(item):
