@@ -252,8 +252,14 @@ def _kdjpeg(args, cfg, key, out):
                 break
             flat, lab = KDJpegModel.collate(versions, labels, qf_classes=6)
             key, k = jax.random.split(key)
+            # aux terms ramp in over steps 250-1000: the synthetic family
+            # saturates the QF classifier ~1000x faster than real data, so
+            # the reference's full-strength CE/GAN from step 0 shreds the
+            # simulator before its pixel loss has a foothold
+            ramp = np.float32(np.clip((step - 250) / 750.0, 0.0, 1.0))
             states, logs = model.train_step(states, jnp.asarray(flat),
-                                            jnp.asarray(lab), k)
+                                            jnp.asarray(lab), k,
+                                            aux_ramp=ramp)
             step += 1
             if step % args.log_every == 0 or step == 1:
                 rec = {"step": step, "wall": time.time() - t0}

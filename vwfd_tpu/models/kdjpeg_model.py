@@ -87,11 +87,18 @@ class KDJpegModel:
         return flat, lab
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
-    def train_step(self, states, real_jpeg, labels, key):
+    def train_step(self, states, real_jpeg, labels, key, aux_ramp=1.0):
         """real_jpeg: (6B, H, W, 3) images pre-compressed at per-sample QF in
         CLASS-MAJOR order (use `KDJpegModel.collate`); labels: (6B,) integer
         QF class. The first B entries are the clean sources replicated for
         simulation (IRNrhi_model.py:468-471).
+
+        `aux_ramp` ∈ [0,1] scales the feature/CE/GAN generator terms —
+        1.0 is the reference weighting (IRNrhi_model.py:452-527); callers
+        may ramp it in when the QF classifier converges orders of magnitude
+        faster than the reference's real-data regime (the synthetic family
+        saturates it in ~300 steps, making its CE landscape adversarially
+        sharp before the simulator has learned anything).
 
         `states` is donated; the non-finite-loss guard runs in-step across
         all three updates, so callers always rebind."""
@@ -122,7 +129,16 @@ class KDJpegModel:
             out, _ = self.generator.apply(
                 {"params": gen_params, **states["generator"].variables},
                 sim_src, qf_input)
-            return jnp.clip(out, 0.0, 1.0)
+            # clamp WITH pass-through gradient: a hard clip zero-grads every
+            # out-of-range pixel, and the first r5 run froze exactly there —
+            # early CE/GAN gradients pushed the generator negative, the
+            # clipped L1 then had no gradient left and l_simul pinned at
+            # ~0.51 (output ≡ 0 vs mean-0.5 targets) for 1000+ steps
+            # (runs/conv_r5_kdjpeg_rawbayar.jsonl). Same device-side trick
+            # the reference uses on images (clamp_with_grad,
+            # IRNcrop_model.py:344).
+            from ..ops.quantize import clamp_with_grad
+            return clamp_with_grad(out)
 
         # ---- 2. discriminator step (on detached simulation)
         simulated_detached = jax.lax.stop_gradient(sim(states["generator"].params))
@@ -163,7 +179,8 @@ class KDJpegModel:
             g_fake = self.discriminator.apply(
                 {"params": new_disc.params, **new_disc.variables}, simulated)
             fw_gan = bce_loss(g_fake, jnp.ones_like(g_fake))
-            loss = l_simul + 5.0 * l_bayar + 0.01 * l_qf_sim + 0.01 * fw_gan
+            loss = l_simul + aux_ramp * (
+                5.0 * l_bayar + 0.01 * l_qf_sim + 0.01 * fw_gan)
             return loss, (l_simul, l_bayar, l_qf_sim, fw_gan, simulated)
 
         (g_total, (l_simul, l_bayar, l_qf_sim, fw_gan, simulated)), g_grads = \
